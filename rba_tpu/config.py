@@ -1,0 +1,439 @@
+"""Typed configuration tree for rba-tpu.
+
+The reference (NazirNayal8/RbA) configures everything through Detectron2's
+``CfgNode`` YAML files extended by ``add_maskformer2_config``
+(/root/reference/mask2former/config.py:6-244).  The released checkpoints each
+ship a frozen ``config.yaml`` (e.g. /root/reference/ckpts/swin_b_1dl/config.yaml)
+which is the contract for loading them.  Here we use plain dataclasses and a
+loader that ingests those same YAML files, pulling out only the keys that
+affect model math / evaluation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class SwinConfig:
+    """Swin transformer backbone hyperparameters.
+
+    Mirrors cfg.MODEL.SWIN of the reference (config defaults in
+    /root/reference/mask2former/config.py; consumed by
+    /root/reference/mask2former/modeling/backbone/swin.py:686-770).
+    """
+
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    ape: bool = False
+    patch_norm: bool = True
+    drop_path_rate: float = 0.3
+    pretrain_img_size: int = 384
+    out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    use_checkpoint: bool = False  # jax.checkpoint (remat) over blocks
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.depths)
+
+    def stage_dim(self, i: int) -> int:
+        return int(self.embed_dim * 2**i)
+
+    @property
+    def out_channels(self) -> Dict[str, int]:
+        return {f"res{i + 2}": self.stage_dim(i) for i in range(self.num_layers)}
+
+    @property
+    def out_strides(self) -> Dict[str, int]:
+        return {f"res{i + 2}": int(self.patch_size * 2**i) for i in range(self.num_layers)}
+
+
+@dataclass(frozen=True)
+class PixelDecoderConfig:
+    """MSDeformAttn pixel decoder (reference:
+    /root/reference/mask2former/modeling/pixel_decoder/msdeformattn.py:173-367).
+    """
+
+    conv_dim: int = 256
+    mask_dim: int = 256
+    norm: str = "GN"
+    transformer_in_features: Tuple[str, ...] = ("res5",)  # 1dl released ckpts
+    in_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    transformer_enc_layers: int = 6
+    transformer_nheads: int = 8
+    enc_n_points: int = 4
+    # The reference hardcodes 1024 for the deformable encoder FFN
+    # (msdeformattn.py:315) regardless of MASK_FORMER.DIM_FEEDFORWARD.
+    transformer_dim_feedforward: int = 1024
+    common_stride: int = 4
+
+    @property
+    def num_feature_levels(self) -> int:
+        return len(self.transformer_in_features)
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Mask2Former masked-attention transformer decoder (reference:
+    /root/reference/mask2former/modeling/transformer_decoder/mask2former_transformer_decoder.py:232-502).
+    """
+
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    # reference from_config subtracts 1 from cfg DEC_LAYERS (…decoder.py:388)
+    dec_layers: int = 1
+    pre_norm: bool = False
+    mask_dim: int = 256
+    enforce_input_project: bool = False
+    num_feature_levels: int = 1  # = len(DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES)
+    ood_prediction: bool = False  # DenseHybrid auxiliary head
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    semantic_on: bool = True
+    panoptic_on: bool = False
+    instance_on: bool = False
+    sem_seg_postprocessing_before_inference: bool = False
+    object_mask_threshold: float = 0.8
+    overlap_threshold: float = 0.8
+    # TTA
+    aug_enabled: bool = False
+    aug_flip: bool = True
+    aug_min_sizes: Tuple[int, ...] = (512, 768, 1024, 1280, 1536, 1792)
+    aug_max_size: int = 4096
+
+
+@dataclass(frozen=True)
+class InputConfig:
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    size_divisibility: int = 32
+    min_size_test: int = 1024
+    max_size_test: int = 2048
+    image_format: str = "RGB"
+
+
+@dataclass(frozen=True)
+class OODConfig:
+    """RbA / outlier-exposure settings (reference config keys in
+    /root/reference/mask2former/config.py:184-227)."""
+
+    ood_label: int = 254
+    ood_prob: float = 0.2
+    outlier_supervision: bool = False
+    outlier_loss_target: str = "none"  # none | nls | tanh
+    score_norm: str = "none"
+    outlier_loss_func: str = "max"  # squared_hinge implemented as in reference
+    inlier_upper_threshold: float = 0.0
+    outlier_lower_threshold: float = 5.0
+    outlier_weight: float = 1.0
+    smoothness_loss: bool = False
+    smoothness_weight: float = 3.0e-6
+    sparsity_loss: bool = False
+    sparsity_weight: float = 5.0e-4
+    gambler_loss: bool = False
+    gambler_weight: float = 1.0
+    densehybrid_loss: bool = False
+    densehybrid_beta: float = 0.03
+    densehybrid_weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """SetCriterion weights (reference /root/reference/mask2former/maskformer_model.py:107-221)."""
+
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    no_object_weight: float = 0.1
+    deep_supervision: bool = True
+    train_num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    matcher: str = "HungarianMatcher"
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    base_lr: float = 1e-4
+    weight_decay: float = 0.05
+    weight_decay_embed: float = 0.0
+    weight_decay_norm: float = 0.0
+    backbone_multiplier: float = 0.1
+    clip_gradients: bool = True
+    clip_value: float = 0.01
+    max_iter: int = 90000
+    warmup_iters: int = 0
+    warmup_factor: float = 1.0
+    poly_lr_power: float = 0.9
+    poly_lr_constant_ending: float = 0.0
+    ims_per_batch: int = 16
+    amp: bool = True
+    freeze_backbone: bool = False
+    freeze_pixel_decoder: bool = False
+    freeze_transformer_decoder: bool = False
+    freeze_transformer_decoder_except_mlp: bool = False
+    freeze_transformer_decoder_except_object_queries: bool = False
+
+
+@dataclass(frozen=True)
+class RbAConfig:
+    """Top-level model + eval configuration."""
+
+    backbone_name: str = "swin"
+    swin: SwinConfig = field(default_factory=SwinConfig)
+    pixel_decoder: PixelDecoderConfig = field(default_factory=PixelDecoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    input: InputConfig = field(default_factory=InputConfig)
+    ood: OODConfig = field(default_factory=OODConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    num_classes: int = 19
+    # compute dtype for backbone/decoder matmuls; score path stays fp32
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def sem_seg_head_ignore_value(self) -> int:
+        return 255
+
+
+def _get(d: Dict[str, Any], path: str, default=None):
+    cur: Any = d
+    for part in path.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return default
+        cur = cur[part]
+    return cur
+
+
+def load_d2_config(path: str, **overrides) -> RbAConfig:
+    """Ingest a frozen Detectron2 ``config.yaml`` from the reference release.
+
+    Only keys that affect the math of the live code path are honored; the rest
+    of the (enormous) D2 schema is ignored.  See
+    /root/reference/ckpts/swin_b_1dl/config.yaml for an example input.
+    """
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+
+    model = raw.get("MODEL", {})
+    swin_raw = model.get("SWIN", {})
+    mf = model.get("MASK_FORMER", {})
+    head = model.get("SEM_SEG_HEAD", {})
+    inp = raw.get("INPUT", {})
+    test = raw.get("TEST", {})
+    solver = raw.get("SOLVER", {})
+
+    backbone = {
+        "D2SwinTransformer": "swin",
+        "D2ViT": "vit",
+        "D2MViT": "mvit",
+        "build_wideresnet38_backbone": "wideresnet38",
+    }.get(_get(model, "BACKBONE.NAME", "D2SwinTransformer"), "swin")
+    if str(_get(model, "BACKBONE.NAME", "")).startswith("mit"):
+        backbone = "mix_transformer"
+
+    swin = SwinConfig(
+        patch_size=swin_raw.get("PATCH_SIZE", 4),
+        embed_dim=swin_raw.get("EMBED_DIM", 128),
+        depths=tuple(swin_raw.get("DEPTHS", (2, 2, 18, 2))),
+        num_heads=tuple(swin_raw.get("NUM_HEADS", (4, 8, 16, 32))),
+        window_size=swin_raw.get("WINDOW_SIZE", 12),
+        mlp_ratio=swin_raw.get("MLP_RATIO", 4.0),
+        qkv_bias=swin_raw.get("QKV_BIAS", True),
+        qk_scale=swin_raw.get("QK_SCALE", None),
+        ape=swin_raw.get("APE", False),
+        patch_norm=swin_raw.get("PATCH_NORM", True),
+        drop_path_rate=swin_raw.get("DROP_PATH_RATE", 0.3),
+        pretrain_img_size=swin_raw.get("PRETRAIN_IMG_SIZE", 384),
+        out_features=tuple(swin_raw.get("OUT_FEATURES", ("res2", "res3", "res4", "res5"))),
+        use_checkpoint=swin_raw.get("USE_CHECKPOINT", False),
+    )
+
+    pixel_decoder = PixelDecoderConfig(
+        conv_dim=head.get("CONVS_DIM", 256),
+        mask_dim=head.get("MASK_DIM", 256),
+        norm=head.get("NORM", "GN"),
+        transformer_in_features=tuple(
+            head.get("DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES", ("res5",))
+        ),
+        in_features=tuple(head.get("IN_FEATURES", ("res2", "res3", "res4", "res5"))),
+        transformer_enc_layers=head.get("TRANSFORMER_ENC_LAYERS", 6),
+        transformer_nheads=mf.get("NHEADS", 8),
+        enc_n_points=head.get("DEFORMABLE_TRANSFORMER_ENCODER_N_POINTS", 4),
+        common_stride=head.get("COMMON_STRIDE", 4),
+    )
+
+    decoder = DecoderConfig(
+        hidden_dim=mf.get("HIDDEN_DIM", 256),
+        num_queries=mf.get("NUM_OBJECT_QUERIES", 100),
+        nheads=mf.get("NHEADS", 8),
+        dim_feedforward=mf.get("DIM_FEEDFORWARD", 2048),
+        dec_layers=max(mf.get("DEC_LAYERS", 2) - 1, 1),
+        pre_norm=mf.get("PRE_NORM", False),
+        mask_dim=head.get("MASK_DIM", 256),
+        enforce_input_project=mf.get("ENFORCE_INPUT_PROJ", False),
+        num_feature_levels=len(head.get("DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES", ("res5",))),
+        ood_prediction=mf.get("DENSE_HYBRID_LOSS", False),
+    )
+
+    tst = mf.get("TEST", {})
+    test_cfg = TestConfig(
+        semantic_on=tst.get("SEMANTIC_ON", True),
+        panoptic_on=tst.get("PANOPTIC_ON", False),
+        instance_on=tst.get("INSTANCE_ON", False),
+        sem_seg_postprocessing_before_inference=tst.get(
+            "SEM_SEG_POSTPROCESSING_BEFORE_INFERENCE", False
+        ),
+        object_mask_threshold=tst.get("OBJECT_MASK_THRESHOLD", 0.8),
+        overlap_threshold=tst.get("OVERLAP_THRESHOLD", 0.8),
+        aug_enabled=_get(test, "AUG.ENABLED", False),
+        aug_flip=_get(test, "AUG.FLIP", True),
+        aug_min_sizes=tuple(_get(test, "AUG.MIN_SIZES", (512, 768, 1024, 1280, 1536, 1792))),
+        aug_max_size=_get(test, "AUG.MAX_SIZE", 4096),
+    )
+
+    input_cfg = InputConfig(
+        pixel_mean=tuple(model.get("PIXEL_MEAN", (123.675, 116.28, 103.53))),
+        pixel_std=tuple(model.get("PIXEL_STD", (58.395, 57.12, 57.375))),
+        size_divisibility=mf.get("SIZE_DIVISIBILITY", 32),
+        min_size_test=inp.get("MIN_SIZE_TEST", 1024),
+        max_size_test=inp.get("MAX_SIZE_TEST", 2048),
+        image_format=inp.get("FORMAT", "RGB"),
+    )
+
+    ood = OODConfig(
+        ood_label=inp.get("OOD_LABEL", 254),
+        ood_prob=inp.get("OOD_PROB", 0.2),
+        outlier_supervision=mf.get("OUTLIER_SUPERVISION", False),
+        outlier_loss_target=mf.get("OUTLIER_LOSS_TARGET", "none"),
+        score_norm=mf.get("SCORE_NORM", "none"),
+        outlier_loss_func=mf.get("OUTLIER_LOSS_FUNC", "max"),
+        inlier_upper_threshold=mf.get("INLIER_UPPER_THRESHOLD", 0.0),
+        outlier_lower_threshold=mf.get("OUTLIER_LOWER_THRESHOLD", 5.0),
+        outlier_weight=mf.get("OUTLIER_WEIGHT", 1.0),
+        smoothness_loss=mf.get("SMOOTHNESS_LOSS", False),
+        smoothness_weight=mf.get("SMOOTHNESS_WEIGHT", 3.0e-6),
+        sparsity_loss=mf.get("SPARSITY_LOSS", False),
+        sparsity_weight=mf.get("SPARSITY_WEIGHT", 5.0e-4),
+        gambler_loss=mf.get("GAMBLER_LOSS", False),
+        gambler_weight=mf.get("GAMBLER_WEIGHT", 1.0),
+        densehybrid_loss=mf.get("DENSE_HYBRID_LOSS", False),
+        densehybrid_beta=mf.get("DENSE_HYBRID_BETA", 0.03),
+        densehybrid_weight=mf.get("DENSE_HYBRID_WEIGHT", 1.0),
+    )
+
+    loss = LossConfig(
+        class_weight=mf.get("CLASS_WEIGHT", 2.0),
+        mask_weight=mf.get("MASK_WEIGHT", 5.0),
+        dice_weight=mf.get("DICE_WEIGHT", 5.0),
+        no_object_weight=mf.get("NO_OBJECT_WEIGHT", 0.1),
+        deep_supervision=mf.get("DEEP_SUPERVISION", True),
+        train_num_points=mf.get("TRAIN_NUM_POINTS", 12544),
+        oversample_ratio=mf.get("OVERSAMPLE_RATIO", 3.0),
+        importance_sample_ratio=mf.get("IMPORTANCE_SAMPLE_RATIO", 0.75),
+        matcher=mf.get("MATCHER", "HungarianMatcher"),
+    )
+
+    solver_cfg = SolverConfig(
+        base_lr=solver.get("BASE_LR", 1e-4),
+        weight_decay=solver.get("WEIGHT_DECAY", 0.05),
+        weight_decay_embed=solver.get("WEIGHT_DECAY_EMBED", 0.0),
+        weight_decay_norm=solver.get("WEIGHT_DECAY_NORM", 0.0),
+        backbone_multiplier=solver.get("BACKBONE_MULTIPLIER", 0.1),
+        clip_gradients=_get(solver, "CLIP_GRADIENTS.ENABLED", True),
+        clip_value=_get(solver, "CLIP_GRADIENTS.CLIP_VALUE", 0.01),
+        max_iter=solver.get("MAX_ITER", 90000),
+        warmup_iters=solver.get("WARMUP_ITERS", 0),
+        warmup_factor=solver.get("WARMUP_FACTOR", 1.0),
+        poly_lr_power=solver.get("POLY_LR_POWER", 0.9),
+        poly_lr_constant_ending=solver.get("POLY_LR_CONSTANT_ENDING", 0.0),
+        ims_per_batch=solver.get("IMS_PER_BATCH", 16),
+        amp=_get(solver, "AMP.ENABLED", True),
+        freeze_backbone=model.get("FREEZE_BACKBONE", False),
+        freeze_pixel_decoder=model.get("FREEZE_PIXEL_DECODER", False),
+        freeze_transformer_decoder=model.get("FREEZE_TRANSFORMER_DECODER", False),
+        freeze_transformer_decoder_except_mlp=model.get(
+            "FREEZE_TRANSFORMER_DECODER_EXCEPT_MLP", False
+        ),
+        freeze_transformer_decoder_except_object_queries=model.get(
+            "FREEZE_TRANSFORMER_DECODER_EXCEPT_OBJECT_QUERIES", False
+        ),
+    )
+
+    cfg = RbAConfig(
+        backbone_name=backbone,
+        swin=swin,
+        pixel_decoder=pixel_decoder,
+        decoder=decoder,
+        test=test_cfg,
+        input=input_cfg,
+        ood=ood,
+        loss=loss,
+        solver=solver_cfg,
+        num_classes=head.get("NUM_CLASSES", 19),
+    )
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+# Convenience presets matching the released checkpoints.
+def swin_b_1dl() -> RbAConfig:
+    return RbAConfig()
+
+
+def swin_l_1dl() -> RbAConfig:
+    return dataclasses.replace(
+        RbAConfig(),
+        swin=dataclasses.replace(SwinConfig(), embed_dim=192, num_heads=(6, 12, 24, 48)),
+    )
+
+
+def tiny_test_config(num_classes: int = 7) -> RbAConfig:
+    """A miniature config for fast unit tests (CPU)."""
+    return RbAConfig(
+        swin=SwinConfig(
+            embed_dim=32,
+            depths=(2, 2),
+            num_heads=(2, 4),
+            window_size=4,
+            out_features=("res2", "res3"),
+        ),
+        pixel_decoder=PixelDecoderConfig(
+            conv_dim=64,
+            mask_dim=64,
+            transformer_in_features=("res3",),
+            in_features=("res2", "res3"),
+            transformer_enc_layers=2,
+            transformer_nheads=4,
+            transformer_dim_feedforward=128,
+            common_stride=4,
+        ),
+        decoder=DecoderConfig(
+            hidden_dim=64,
+            num_queries=10,
+            nheads=4,
+            dim_feedforward=128,
+            dec_layers=2,
+            mask_dim=64,
+            num_feature_levels=1,
+        ),
+        num_classes=num_classes,
+        compute_dtype="float32",
+    )

@@ -1,0 +1,342 @@
+"""Swin Transformer backbone — TPU-native JAX implementation.
+
+Behavioral spec: /root/reference/mask2former/modeling/backbone/swin.py
+(D2SwinTransformer, :686-770; SwinTransformer.forward :651-678; blocks
+:174-295; WindowAttention :74-171; PatchMerging :298-337; BasicLayer
+:340-453; PatchEmbed :456-495).
+
+Design differences from the reference (deliberate, TPU-first):
+  * NHWC activations end-to-end; feature maps stay (B, H, W, C) rather than
+    flattened (B, L, C) token lists — window partitioning is a pure
+    reshape/transpose, which XLA lowers to free layout changes.
+  * The shifted-window attention mask and the relative-position-bias index
+    are computed in numpy at trace time (shapes are static under jit) and
+    folded into the graph as constants.
+  * LayerNorm statistics and attention softmax run in fp32; matmuls run in
+    the configured compute dtype (bf16 on TPU → MXU native).
+  * Stochastic depth is a functional argument (rng + rate), not module state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SwinConfig
+from ..ops.nn import (
+    init_conv2d,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+    trunc_normal,
+)
+
+
+# ---------------------------------------------------------------------------
+# Static (numpy) helpers — computed once per shape and cached
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def relative_position_index(ws: int) -> np.ndarray:
+    """(ws², ws²) index into the (2ws-1)² relative-position-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))  # 2, ws, ws
+    flat = coords.reshape(2, -1)  # 2, ws²
+    rel = flat[:, :, None] - flat[:, None, :]  # 2, ws², ws²
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # ws², ws²
+
+
+@functools.lru_cache(maxsize=256)
+def shifted_window_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, ws², ws²) additive mask (0 / -100) for SW-MSA.
+
+    Mirrors the 9-region image mask of the reference (swin.py:413-440).
+    """
+    img_mask = np.zeros((hp, wp), dtype=np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[hs, wsl] = cnt
+            cnt += 1
+    # partition into windows
+    m = img_mask.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_window_attention(key, dim: int, ws: int, num_heads: int, qkv_bias: bool):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "relative_position_bias_table": trunc_normal(
+            k1, ((2 * ws - 1) * (2 * ws - 1), num_heads), std=0.02
+        ),
+        "qkv": init_linear(k2, dim, 3 * dim, bias=qkv_bias, init=lambda k, s: trunc_normal(k, s, 0.02)),
+        "proj": init_linear(k3, dim, dim, init=lambda k, s: trunc_normal(k, s, 0.02)),
+    }
+
+
+def init_block(key, dim: int, ws: int, num_heads: int, mlp_ratio: float, qkv_bias: bool):
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = int(dim * mlp_ratio)
+    return {
+        "norm1": init_layer_norm(dim),
+        "attn": init_window_attention(k1, dim, ws, num_heads, qkv_bias),
+        "norm2": init_layer_norm(dim),
+        "mlp": {
+            "fc1": init_linear(k2, dim, hidden, init=lambda k, s: trunc_normal(k, s, 0.02)),
+            "fc2": init_linear(k3, hidden, dim, init=lambda k, s: trunc_normal(k, s, 0.02)),
+        },
+    }
+
+
+def swin_init(key, cfg: SwinConfig):
+    keys = jax.random.split(key, 16)
+    params: Dict = {}
+    params["patch_embed"] = {
+        "proj": init_conv2d(keys[0], cfg.patch_size, cfg.patch_size, 3, cfg.embed_dim)
+    }
+    if cfg.patch_norm:
+        params["patch_embed"]["norm"] = init_layer_norm(cfg.embed_dim)
+    if cfg.ape:
+        n = cfg.pretrain_img_size // cfg.patch_size
+        params["absolute_pos_embed"] = trunc_normal(keys[1], (1, n, n, cfg.embed_dim), std=0.02)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        dim = cfg.stage_dim(i)
+        bkeys = jax.random.split(keys[2 + i], cfg.depths[i] + 1)
+        layer = {
+            "blocks": [
+                init_block(bkeys[j], dim, cfg.window_size, cfg.num_heads[i], cfg.mlp_ratio, cfg.qkv_bias)
+                for j in range(cfg.depths[i])
+            ]
+        }
+        if i < cfg.num_layers - 1:
+            layer["downsample"] = {
+                "norm": init_layer_norm(4 * dim),
+                "reduction": init_linear(bkeys[-1], 4 * dim, 2 * dim, bias=False),
+            }
+        layers.append(layer)
+    params["layers"] = layers
+
+    for i in range(cfg.num_layers):
+        if f"res{i + 2}" in cfg.out_features:
+            params[f"norm{i}"] = init_layer_norm(cfg.stage_dim(i))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _window_attention(
+    attn_params,
+    x: jax.Array,  # (B, nHw, nWw, N, C) windowed tokens
+    num_heads: int,
+    ws: int,
+    mask: Optional[np.ndarray],  # (nW, N, N) or None
+    qk_scale: Optional[float],
+) -> jax.Array:
+    b, nhw, nww, n, c = x.shape
+    hd = c // num_heads
+    scale = qk_scale or hd**-0.5
+
+    qkv = linear(attn_params["qkv"], x)  # (B, nHw, nWw, N, 3C)
+    qkv = qkv.reshape(b, nhw * nww, n, 3, num_heads, hd)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]  # (B, nW, N, nh, hd)
+
+    # (B, nW, nh, N, N)
+    attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k, preferred_element_type=jnp.float32)
+
+    bias_table = attn_params["relative_position_bias_table"].astype(jnp.float32)
+    idx = relative_position_index(ws)
+    rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, num_heads)
+    rel_bias = jnp.transpose(rel_bias, (2, 0, 1))  # (nh, N, N)
+    attn = attn + rel_bias[None, None]
+
+    if mask is not None:
+        attn = attn + jnp.asarray(mask, jnp.float32)[None, :, None]
+
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(b, nhw, nww, n, c)
+    return linear(attn_params["proj"], out)
+
+
+def _drop_path(x, rate: float, rng, deterministic: bool):
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def swin_block_apply(
+    params,
+    x: jax.Array,  # (B, H, W, C)
+    num_heads: int,
+    ws: int,
+    shift: int,
+    qk_scale: Optional[float],
+    drop_path_rate: float = 0.0,
+    rng=None,
+    deterministic: bool = True,
+) -> jax.Array:
+    b, h, w, c = x.shape
+    shortcut = x
+    x = layer_norm(params["norm1"], x)
+
+    pad_b = (ws - h % ws) % ws
+    pad_r = (ws - w % ws) % ws
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    hp, wp = h + pad_b, w + pad_r
+
+    if shift > 0:
+        x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+        mask = shifted_window_mask(hp, wp, ws, shift)
+    else:
+        mask = None
+
+    # partition: (B, Hp/ws, ws, Wp/ws, ws, C) -> (B, nHw, nWw, ws*ws, C)
+    xw = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    xw = jnp.transpose(xw, (0, 1, 3, 2, 4, 5)).reshape(b, hp // ws, wp // ws, ws * ws, c)
+
+    xw = _window_attention(params["attn"], xw, num_heads, ws, mask, qk_scale)
+
+    # reverse
+    x = xw.reshape(b, hp // ws, wp // ws, ws, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+
+    if shift > 0:
+        x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+    if pad_b or pad_r:
+        x = x[:, :h, :w]
+
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    x = shortcut + _drop_path(x, drop_path_rate, rngs[0], deterministic)
+
+    y = layer_norm(params["norm2"], x)
+    y = linear(params["mlp"]["fc2"], jax.nn.gelu(linear(params["mlp"]["fc1"], y), approximate=False))
+    x = x + _drop_path(y, drop_path_rate, rngs[1], deterministic)
+    return x
+
+
+def _patch_merging(params, x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, ⌈H/2⌉, ⌈W/2⌉, 2C); concat order [ee, oe, eo, oo]
+    matching reference PatchMerging (swin.py:327-331)."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+    x0 = x[:, 0::2, 0::2]
+    x1 = x[:, 1::2, 0::2]
+    x2 = x[:, 0::2, 1::2]
+    x3 = x[:, 1::2, 1::2]
+    x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+    x = layer_norm(params["norm"], x)
+    return linear(params["reduction"], x)
+
+
+def swin_apply(
+    params,
+    cfg: SwinConfig,
+    images: jax.Array,  # (B, H, W, 3) normalized
+    compute_dtype=jnp.bfloat16,
+    rng=None,
+    deterministic: bool = True,
+) -> Dict[str, jax.Array]:
+    """Returns {res2..res5: (B, H/s, W/s, C_s)} feature maps (NHWC)."""
+    x = images.astype(compute_dtype)
+    p = cfg.patch_size
+    b, h, w, _ = x.shape
+    if h % p or w % p:
+        x = jnp.pad(x, ((0, 0), (0, (p - h % p) % p), (0, (p - w % p) % p), (0, 0)))
+
+    pe = params["patch_embed"]
+    x = jax.lax.conv_general_dilated(
+        x,
+        pe["proj"]["kernel"].astype(compute_dtype),
+        window_strides=(p, p),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + pe["proj"]["bias"].astype(compute_dtype)
+    if "norm" in pe:
+        x = layer_norm(pe["norm"], x)
+
+    if cfg.ape and "absolute_pos_embed" in params:
+        from ..ops.resize import resize_bilinear_nhwc  # bicubic in reference; bilinear approx
+
+        ape = resize_bilinear_nhwc(params["absolute_pos_embed"], (x.shape[1], x.shape[2]))
+        x = x + ape.astype(compute_dtype)
+
+    # stochastic depth schedule: linear over total depth (reference swin.py:569)
+    total_depth = sum(cfg.depths)
+    dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
+
+    outs: Dict[str, jax.Array] = {}
+    blk_idx = 0
+    for i in range(cfg.num_layers):
+        layer = params["layers"][i]
+
+        def run_blocks(x):
+            nonlocal blk_idx, rng
+            for j, blk in enumerate(layer["blocks"]):
+                shift = 0 if j % 2 == 0 else cfg.window_size // 2
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                else:
+                    sub = None
+                block_fn = swin_block_apply
+                if cfg.use_checkpoint and not deterministic:
+                    block_fn = jax.checkpoint(
+                        functools.partial(
+                            swin_block_apply,
+                            num_heads=cfg.num_heads[i],
+                            ws=cfg.window_size,
+                            shift=shift,
+                            qk_scale=cfg.qk_scale,
+                            drop_path_rate=float(dpr[blk_idx]),
+                            rng=sub,
+                            deterministic=deterministic,
+                        ),
+                        static_argnums=(),
+                    )
+                    x = block_fn(blk, x)
+                else:
+                    x = swin_block_apply(
+                        blk,
+                        x,
+                        num_heads=cfg.num_heads[i],
+                        ws=cfg.window_size,
+                        shift=shift,
+                        qk_scale=cfg.qk_scale,
+                        drop_path_rate=float(dpr[blk_idx]),
+                        rng=sub,
+                        deterministic=deterministic,
+                    )
+                blk_idx += 1
+            return x
+
+        x_out = run_blocks(x)
+
+        if f"res{i + 2}" in cfg.out_features:
+            outs[f"res{i + 2}"] = layer_norm(params[f"norm{i}"], x_out)
+
+        if "downsample" in layer:
+            x = _patch_merging(layer["downsample"], x_out)
+        else:
+            x = x_out
+
+    return outs

@@ -1,0 +1,107 @@
+"""Multi-scale deformable attention sampling — TPU-native formulation.
+
+Behavioral spec: the CUDA kernel of the reference
+(/root/reference/mask2former/modeling/pixel_decoder/ops/src/cuda/
+ms_deform_im2col_cuda.cuh:242-303) and its pure-PyTorch equivalent
+``ms_deform_attn_core_pytorch`` (/root/reference/mask2former/modeling/
+pixel_decoder/ops/functions/ms_deform_attn_func.py:52-72): for each
+(batch, query, head, point, level), bilinearly sample the per-head value map
+at ``loc * (W, H) - 0.5`` with zero padding outside, multiply by the softmax
+attention weight, and sum over levels × points.
+
+TPU design: irregular fp-coordinate gathers are hostile to the MXU, so we
+express the bilinear sample as four integer gathers + a lerp, batched over
+(query, head, level, point) with static shapes.  Gradients come free via JAX
+autodiff (the reference needed ~620 LoC of handwritten CUDA backward).  A
+fused Pallas kernel lives in ``rba_tpu/ops/pallas/deform_attn.py`` for the
+multi-level hot path; this jnp version is the reference/bench fallback and is
+already fast at the released 1-level eval configs (Len_q = 32×64).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather_level(
+    value: jax.Array,  # (N, H, W, M, D) one level's value map, heads split
+    loc: jax.Array,  # (N, Lq, M, P, 2) normalized [0, 1] sampling locations (x, y)
+) -> jax.Array:  # (N, Lq, M, P, D)
+    n, h, w, m, d = value.shape
+    # grid_sample(align_corners=False) semantics: pixel centers at
+    # (i + 0.5)/W; sample coordinate in pixel units is loc*W - 0.5.
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(yi, xi):
+        # validity BEFORE clamping (zero padding outside)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = jnp.clip(xi, 0, w - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        flat_idx = yc * w + xc  # (N, Lq, M, P)
+        vflat = value.reshape(n, h * w, m, d)
+        # gather per (batch, head): take_along_axis over the HW axis
+        idx = flat_idx.transpose(0, 2, 1, 3).reshape(n, m, -1)  # (N, M, Lq*P)
+        v = jnp.take_along_axis(
+            vflat.transpose(0, 2, 1, 3),  # (N, M, HW, D)
+            idx[..., None],
+            axis=2,
+        )  # (N, M, Lq*P, D)
+        lq = loc.shape[1]
+        p = loc.shape[3]
+        v = v.reshape(n, m, lq, p, d).transpose(0, 2, 1, 3, 4)  # (N, Lq, M, P, D)
+        return jnp.where(valid[..., None], v, 0.0)
+
+    w00 = ((1 - tx) * (1 - ty))[..., None]
+    w01 = (tx * (1 - ty))[..., None]
+    w10 = ((1 - tx) * ty)[..., None]
+    w11 = (tx * ty)[..., None]
+
+    out = (
+        corner(y0i, x0i) * w00
+        + corner(y0i, x0i + 1) * w01
+        + corner(y0i + 1, x0i) * w10
+        + corner(y0i + 1, x0i + 1) * w11
+    )
+    return out
+
+
+def ms_deform_attn_core(
+    value: jax.Array,  # (N, S, M, D) flattened multi-level values
+    spatial_shapes: Sequence[Tuple[int, int]],  # static python list of (H, W)
+    sampling_locations: jax.Array,  # (N, Lq, M, L, P, 2) in [0, 1]
+    attention_weights: jax.Array,  # (N, Lq, M, L, P) softmaxed over L*P
+) -> jax.Array:  # (N, Lq, M*D)
+    n, s, m, d = value.shape
+    _, lq, _, nlevels, p, _ = sampling_locations.shape
+    assert nlevels == len(spatial_shapes)
+
+    # compute in fp32 — the reference pins the pixel decoder to fp32 under AMP
+    value = value.astype(jnp.float32)
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+
+    offsets = [0]
+    for h, w in spatial_shapes:
+        offsets.append(offsets[-1] + h * w)
+    assert offsets[-1] == s
+
+    out = jnp.zeros((n, lq, m, d), jnp.float32)
+    for lid, (h, w) in enumerate(spatial_shapes):
+        v = value[:, offsets[lid] : offsets[lid + 1]].reshape(n, h, w, m, d)
+        sampled = _bilinear_gather_level(v, sampling_locations[:, :, :, lid])  # (N,Lq,M,P,D)
+        out = out + jnp.einsum(
+            "nqmpd,nqmp->nqmd", sampled, attention_weights[:, :, :, lid],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return out.reshape(n, lq, m * d)

@@ -1,0 +1,119 @@
+"""Small functional NN building blocks shared across the framework.
+
+Parameters are plain pytrees (nested dicts of jnp arrays).  Conventions:
+  * Linear kernels are stored (in, out) — JAX convention, the transpose of
+    torch's (out, in).  The Detectron2 checkpoint converter transposes.
+  * Conv kernels are HWIO; activations are NHWC (TPU-native layout).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear(params, x, precision=None):
+    y = jnp.dot(x, params["kernel"].astype(x.dtype), precision=precision)
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def layer_norm(params, x, eps: float = 1e-5):
+    """LayerNorm over the last axis, torch semantics (biased variance)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(params, x, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over NHWC activations (channels last), torch semantics."""
+    n, h, w, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
+    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 4), keepdims=True)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv2d(params, x, stride: int = 1, padding="SAME", feature_group_count: int = 1):
+    """NHWC conv with HWIO kernel."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+    )
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def mlp_apply(params, x, act=jax.nn.relu):
+    """Multi-layer perceptron: relu between layers, none at the end
+    (reference MLP: …/mask2former_transformer_decoder.py:200-212)."""
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        x = linear(layer, x)
+        if i < n - 1:
+            x = act(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Initializers (used for from-scratch training; converter overwrites these)
+# ---------------------------------------------------------------------------
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    # torch trunc_normal_ truncates at ±2 std
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[-1]
+    if len(shape) == 4:  # HWIO conv
+        rf = shape[0] * shape[1]
+        fan_in, fan_out = shape[2] * rf, shape[3] * rf
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def init_linear(key, d_in, d_out, bias=True, init=xavier_uniform):
+    p = {"kernel": init(key, (d_in, d_out))}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def init_layer_norm(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_conv2d(key, kh, kw, c_in, c_out, bias=True):
+    # c2_msra_fill-like default (kaiming); exactness is irrelevant for eval
+    fan_in = kh * kw * c_in
+    std = math.sqrt(2.0 / fan_in)
+    p = {"kernel": std * jax.random.normal(key, (kh, kw, c_in, c_out), jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((c_out,), jnp.float32)
+    return p
+
+
+def init_mlp(key, d_in, d_hidden, d_out, num_layers):
+    dims = [d_in] + [d_hidden] * (num_layers - 1) + [d_out]
+    keys = jax.random.split(key, num_layers)
+    return {
+        "layers": [init_linear(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)]
+    }

@@ -1,0 +1,78 @@
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rba_tpu.ops.deform_sampling import ms_deform_attn_core
+
+
+def _random_inputs(rng, n=2, m=4, d=8, p=3, shapes=((6, 9), (3, 5))):
+    s = sum(h * w for h, w in shapes)
+    lq = 7
+    value = rng.randn(n, s, m, d).astype(np.float32)
+    # locations mostly inside [0,1], some outside to test zero padding
+    loc = rng.uniform(-0.2, 1.2, size=(n, lq, m, len(shapes), p, 2)).astype(np.float32)
+    aw = rng.rand(n, lq, m, len(shapes), p).astype(np.float32)
+    aw = aw / aw.sum(axis=(3, 4), keepdims=True)
+    return value, loc, aw, shapes
+
+
+def test_deform_core_matches_grid_sample(rng):
+    from tests.torch_refs import torch_ms_deform_attn_core
+
+    value, loc, aw, shapes = _random_inputs(rng)
+    want = torch_ms_deform_attn_core(
+        torch.from_numpy(value), list(shapes), torch.from_numpy(loc), torch.from_numpy(aw)
+    ).numpy()
+    got = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_core_single_level(rng):
+    from tests.torch_refs import torch_ms_deform_attn_core
+
+    value, loc, aw, shapes = _random_inputs(rng, shapes=((8, 16),), p=4)
+    want = torch_ms_deform_attn_core(
+        torch.from_numpy(value), list(shapes), torch.from_numpy(loc), torch.from_numpy(aw)
+    ).numpy()
+    got = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_core_grads_finite(rng):
+    """The reference needs ~620 LoC of handwritten CUDA backward
+    (ms_deform_im2col_cuda.cuh:307-926); here autodiff covers it — check the
+    gradients exist and are finite (correctness vs numerics is covered by the
+    forward parity + JAX's own grad machinery)."""
+    value, loc, aw, shapes = _random_inputs(rng)
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn_core(v, shapes, l, a) ** 2)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw)
+    )
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_deform_core_grad_value_matches_torch(rng):
+    from tests.torch_refs import torch_ms_deform_attn_core
+
+    value, loc, aw, shapes = _random_inputs(rng, n=1, m=2, d=4, p=2, shapes=((5, 7),))
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    out = torch_ms_deform_attn_core(tv, list(shapes), tl, torch.from_numpy(aw))
+    out.pow(2).sum().backward()
+
+    def f(v, l):
+        return jnp.sum(ms_deform_attn_core(v, shapes, l, jnp.asarray(aw)) ** 2)
+
+    gv, gl = jax.grad(f, argnums=(0, 1))(jnp.asarray(value), jnp.asarray(loc))
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-3)

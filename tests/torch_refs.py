@@ -1,0 +1,181 @@
+"""Independent PyTorch reference implementations used ONLY for golden tests.
+
+These are written from the public papers / framework primitives (Swin
+Transformer, Deformable DETR, DETR) using torch building blocks
+(nn.MultiheadAttention, F.grid_sample, F.interpolate).  They define the
+numerical contract our JAX/TPU implementation must match; they are not part
+of the shipped framework.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------------------
+# Swin pieces
+# ---------------------------------------------------------------------------
+
+class TorchWindowAttention(nn.Module):
+    def __init__(self, dim, window_size, num_heads, qkv_bias=True):
+        super().__init__()
+        self.dim = dim
+        self.ws = window_size
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * window_size - 1) ** 2, num_heads)
+        )
+        coords = torch.stack(
+            torch.meshgrid(torch.arange(window_size), torch.arange(window_size), indexing="ij")
+        )
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window_size - 1
+        rel[:, :, 1] += window_size - 1
+        rel[:, :, 0] *= 2 * window_size - 1
+        self.register_buffer("rpi", rel.sum(-1))
+        self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        qkv = self.qkv(x).reshape(B_, N, 3, self.num_heads, C // self.num_heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[self.rpi.view(-1)].view(N, N, -1).permute(2, 0, 1)
+        attn = attn + bias.unsqueeze(0)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.view(B_ // nW, nW, self.num_heads, N, N) + mask.unsqueeze(1).unsqueeze(0)
+            attn = attn.view(-1, self.num_heads, N, N)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(x)
+
+
+def torch_window_partition(x, ws):
+    B, H, W, C = x.shape
+    x = x.view(B, H // ws, ws, W // ws, ws, C)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(-1, ws, ws, C)
+
+
+def torch_window_reverse(w, ws, H, W):
+    B = int(w.shape[0] / (H * W / ws / ws))
+    x = w.view(B, H // ws, W // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(B, H, W, -1)
+
+
+class TorchSwinBlock(nn.Module):
+    def __init__(self, dim, num_heads, window_size, shift_size, mlp_ratio=4.0, qkv_bias=True):
+        super().__init__()
+        self.ws = window_size
+        self.shift = shift_size
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = TorchWindowAttention(dim, window_size, num_heads, qkv_bias)
+        self.norm2 = nn.LayerNorm(dim)
+        hidden = int(dim * mlp_ratio)
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x, H, W, attn_mask):
+        B, L, C = x.shape
+        shortcut = x
+        x = self.norm1(x).view(B, H, W, C)
+        pad_r = (self.ws - W % self.ws) % self.ws
+        pad_b = (self.ws - H % self.ws) % self.ws
+        x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+        _, Hp, Wp, _ = x.shape
+        if self.shift > 0:
+            x = torch.roll(x, shifts=(-self.shift, -self.shift), dims=(1, 2))
+            m = attn_mask
+        else:
+            m = None
+        xw = torch_window_partition(x, self.ws).view(-1, self.ws * self.ws, C)
+        xw = self.attn(xw, m)
+        x = torch_window_reverse(xw.view(-1, self.ws, self.ws, C), self.ws, Hp, Wp)
+        if self.shift > 0:
+            x = torch.roll(x, shifts=(self.shift, self.shift), dims=(1, 2))
+        x = x[:, :H, :W, :].contiguous().view(B, H * W, C)
+        x = shortcut + x
+        x = x + self.fc2(F.gelu(self.fc1(self.norm2(x))))
+        return x
+
+
+def torch_sw_mask(Hp, Wp, ws, shift):
+    img_mask = torch.zeros((1, Hp, Wp, 1))
+    cnt = 0
+    for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, h, w, :] = cnt
+            cnt += 1
+    mw = torch_window_partition(img_mask, ws).view(-1, ws * ws)
+    am = mw.unsqueeze(1) - mw.unsqueeze(2)
+    return am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+
+
+class TorchPatchMerging(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = nn.LayerNorm(4 * dim)
+
+    def forward(self, x, H, W):
+        B, L, C = x.shape
+        x = x.view(B, H, W, C)
+        if H % 2 or W % 2:
+            x = F.pad(x, (0, 0, 0, W % 2, 0, H % 2))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = torch.cat([x0, x1, x2, x3], -1).view(B, -1, 4 * C)
+        return self.reduction(self.norm(x))
+
+
+# ---------------------------------------------------------------------------
+# Deformable attention core (grid_sample formulation, Deformable-DETR math)
+# ---------------------------------------------------------------------------
+
+def torch_ms_deform_attn_core(value, spatial_shapes, sampling_locations, attention_weights):
+    """value: (N, S, M, D); sampling_locations: (N, Lq, M, L, P, 2) in [0,1];
+    attention_weights: (N, Lq, M, L, P).  Returns (N, Lq, M*D)."""
+    N_, S_, M_, D_ = value.shape
+    _, Lq, M_, L_, P_, _ = sampling_locations.shape
+    value_list = value.split([H * W for H, W in spatial_shapes], dim=1)
+    grids = 2 * sampling_locations - 1
+    out_list = []
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value_list[lid].flatten(2).transpose(1, 2).reshape(N_ * M_, D_, H, W)
+        g = grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)  # (N*M, Lq, P, 2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        out_list.append(s)  # (N*M, D, Lq, P)
+    aw = attention_weights.transpose(1, 2).reshape(N_ * M_, 1, Lq, L_ * P_)
+    out = (torch.stack(out_list, dim=-2).flatten(-2) * aw).sum(-1).view(N_, M_ * D_, Lq)
+    return out.transpose(1, 2).contiguous()
+
+
+# ---------------------------------------------------------------------------
+# Sine position embedding (DETR formula, cumsum form)
+# ---------------------------------------------------------------------------
+
+def torch_sine_pos_embed(h, w, num_pos_feats=128, temperature=10000):
+    not_mask = torch.ones((1, h, w))
+    y_embed = not_mask.cumsum(1)
+    x_embed = not_mask.cumsum(2)
+    eps = 1e-6
+    scale = 2 * math.pi
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(num_pos_feats, dtype=torch.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos_x = x_embed[:, :, :, None] / dim_t
+    pos_y = y_embed[:, :, :, None] / dim_t
+    pos_x = torch.stack((pos_x[:, :, :, 0::2].sin(), pos_x[:, :, :, 1::2].cos()), dim=4).flatten(3)
+    pos_y = torch.stack((pos_y[:, :, :, 0::2].sin(), pos_y[:, :, :, 1::2].cos()), dim=4).flatten(3)
+    return torch.cat((pos_y, pos_x), dim=3).permute(0, 3, 1, 2)  # (1, C, H, W)
