@@ -1,0 +1,60 @@
+"""Benchmark: RbA anomaly-segmentation inference throughput on TPU.
+
+Flagship config: swin_b_1dl (the released checkpoint architecture,
+/root/reference/ckpts/swin_b_1dl/config.yaml) at 1024×2048 Cityscapes
+resolution — the north-star metric from BASELINE.md (target ≥8 img/s/chip
+on v5e; the reference publishes no throughput numbers, vs_baseline is
+measured against that 8 img/s target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from rba_tpu.config import load_d2_config
+    from rba_tpu.models.maskformer import maskformer_infer, maskformer_init
+
+    cfg = load_d2_config("/root/reference/ckpts/swin_b_1dl/config.yaml")
+
+    h, w = 1024, 2048
+    batch = 1
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+
+    fn = jax.jit(lambda p, x: maskformer_infer(p, cfg, x)["rba"])
+    img = jnp.asarray(np.random.RandomState(0).rand(batch, h, w, 3) * 255, jnp.float32)
+
+    # compile + warmup
+    fn(params, img).block_until_ready()
+    t0 = time.perf_counter()
+    fn(params, img).block_until_ready()
+    warm = time.perf_counter() - t0
+
+    iters = max(3, int(2.0 / max(warm, 1e-3)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, img)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rba_infer_imgs_per_sec_1024x2048_swinB",
+                "value": round(ips, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(ips / 8.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""MaskFormer meta-architecture + RbA scoring — TPU-native JAX.
+
+Behavioral spec: /root/reference/mask2former/maskformer_model.py
+(forward :227-356, semantic_inference :381-392, panoptic/instance inference
+:394-527) and the segmentation head wiring
+(/root/reference/mask2former/modeling/meta_arch/mask_former_head.py:125-146).
+
+The inference path is one jitted function per (padded, output) resolution
+bucket: normalize → backbone → pixel decoder → masked-attention decoder →
+mask upsample → softmax/sigmoid einsum → crop/resize → RbA score.  The
+dynamic-shape `ImageList` batching and `retry_if_cuda_oom` of the reference
+are replaced by static resolution buckets chosen by the data pipeline
+(SURVEY.md §7 "hard parts": dynamic shapes).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RbAConfig
+from ..ops.resize import resize_bilinear
+from .pixel_decoder import pixel_decoder_apply, pixel_decoder_init
+from .swin import swin_apply, swin_init
+from .transformer_decoder import decoder_apply, decoder_init
+
+
+def maskformer_init(key, cfg: RbAConfig):
+    k1, k2, k3 = jax.random.split(key, 3)
+    if cfg.backbone_name == "swin":
+        backbone = swin_init(k1, cfg.swin)
+        in_channels = cfg.swin.out_channels
+    else:
+        raise NotImplementedError(cfg.backbone_name)
+    return {
+        "backbone": backbone,
+        "sem_seg_head": {
+            "pixel_decoder": pixel_decoder_init(k2, cfg.pixel_decoder, in_channels),
+            "predictor": decoder_init(
+                k3, cfg.decoder, cfg.num_classes, cfg.pixel_decoder.conv_dim
+            ),
+        },
+    }
+
+
+def _compute_dtype(cfg: RbAConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def preprocess(cfg: RbAConfig, images: jax.Array) -> jax.Array:
+    """(B, H, W, 3) raw RGB float [0,255] → normalized and padded to
+    size_divisibility (bottom/right zero pad, matching ImageList semantics,
+    reference maskformer_model.py:255-257)."""
+    mean = jnp.asarray(cfg.input.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.input.pixel_std, jnp.float32)
+    x = (images.astype(jnp.float32) - mean) / std
+    div = cfg.input.size_divisibility
+    if div > 0:
+        h, w = x.shape[1], x.shape[2]
+        ph = (div - h % div) % div
+        pw = (div - w % div) % div
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x
+
+
+def maskformer_forward(
+    params,
+    cfg: RbAConfig,
+    images: jax.Array,  # (B, Hp, Wp, 3) normalized + padded
+) -> Dict:
+    """Raw network outputs: pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4),
+    aux_outputs.  Shared by training and inference."""
+    dtype = _compute_dtype(cfg)
+    features = swin_apply(params["backbone"], cfg.swin, images, compute_dtype=dtype)
+    head = params["sem_seg_head"]
+    mask_features, _, ms_feats = pixel_decoder_apply(
+        head["pixel_decoder"], cfg.pixel_decoder, features
+    )
+    return decoder_apply(
+        head["predictor"],
+        cfg.decoder,
+        ms_feats[: cfg.decoder.num_feature_levels],
+        mask_features,
+        compute_dtype=jnp.float32,
+    )
+
+
+def semantic_inference(
+    mask_cls: jax.Array,  # (B, Q, K+1) logits
+    mask_pred: jax.Array,  # (B, Q, H, W) logits
+    include_void: bool = False,
+) -> jax.Array:
+    """softmax over classes (dropping no-object unless include_void) ⊗
+    sigmoid masks (reference maskformer_model.py:381-392) → (B, K, H, W)."""
+    cls = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)
+    if not include_void:
+        cls = cls[..., :-1]
+    masks = jax.nn.sigmoid(mask_pred.astype(jnp.float32))
+    return jnp.einsum("bqc,bqhw->bchw", cls, masks, precision=jax.lax.Precision.HIGHEST)
+
+
+def rba_score(sem_seg: jax.Array) -> jax.Array:
+    """RbA outlier score: -Σ_k tanh(logit_k) over the class axis
+    (reference evaluate_ood.py:143-150; support.py:135-142)."""
+    return -jnp.sum(jnp.tanh(sem_seg.astype(jnp.float32)), axis=-3)
+
+
+def energy_score(sem_seg: jax.Array, temperature: float = 1.0) -> jax.Array:
+    """PEBAL/energy OOD score: -T·logsumexp(logits/T) (evaluate_ood.py:152-156)."""
+    return -temperature * jax.nn.logsumexp(sem_seg.astype(jnp.float32) / temperature, axis=-3)
+
+
+def maskformer_infer(
+    params,
+    cfg: RbAConfig,
+    images: jax.Array,  # (B, H, W, 3) raw RGB float
+    out_hw: Optional[Tuple[int, int]] = None,  # original resolution for the score map
+) -> Dict[str, jax.Array]:
+    """End-to-end inference: returns {"sem_seg": (B, K, h, w),
+    "rba": (B, h, w)}.  ``images``' H/W play the role of the reference's
+    ``image_size`` (pre-padding size); ``out_hw`` the dataset's original
+    (height, width)."""
+    h_img, w_img = images.shape[1], images.shape[2]
+    out_hw = out_hw or (h_img, w_img)
+    x = preprocess(cfg, images)
+    hp, wp = x.shape[1], x.shape[2]
+
+    outputs = maskformer_forward(params, cfg, x)
+    mask_cls = outputs["pred_logits"]
+    mask_pred = outputs["pred_masks"]
+
+    # upsample mask logits to the padded input size (reference :294-299)
+    mask_pred = resize_bilinear(mask_pred, (hp, wp), align_corners=False)
+
+    # semantic inference at padded size, then crop + resize the class-prob map
+    # (default sem_seg_postprocess-after-inference path, reference :322-333)
+    sem = semantic_inference(mask_cls, mask_pred)  # (B, K, Hp, Wp)
+    sem = sem[:, :, :h_img, :w_img]
+    sem = resize_bilinear(sem, out_hw, align_corners=False)
+    return {"sem_seg": sem, "rba": rba_score(sem)}

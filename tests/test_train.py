@@ -1,0 +1,169 @@
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rba_tpu.config import tiny_test_config
+
+
+def test_lsap_exact_vs_scipy(rng):
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    from rba_tpu.ops.lsap import batched_linear_sum_assignment
+
+    costs = rng.randn(6, 12, 20).astype(np.float32)
+    out = np.asarray(batched_linear_sum_assignment(jnp.asarray(costs)))
+    for b in range(6):
+        rows, cols = scipy_lsa(costs[b])
+        want = costs[b][rows, cols].sum()
+        got = costs[b][np.arange(12), out[b]].sum()
+        assert len(set(out[b].tolist())) == 12
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_point_sample_matches_torch(rng):
+    import torch.nn.functional as F
+
+    from rba_tpu.ops.point_sample import point_sample
+
+    masks = rng.randn(2, 5, 9, 13).astype(np.float32)
+    coords = rng.rand(2, 40, 2).astype(np.float32)
+    # torch point_sample: grid_sample(align_corners=False) at coords*2-1
+    grid = torch.from_numpy(coords * 2 - 1).unsqueeze(1)  # (B, 1, P, 2)
+    want = F.grid_sample(
+        torch.from_numpy(masks), grid, mode="bilinear", align_corners=False,
+        padding_mode="zeros",
+    ).squeeze(2).numpy()  # (B, Q, P)
+    got = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(coords)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_matcher_agrees_with_reference_costs(rng):
+    """Build the reference cost matrix in torch (softmax class cost +
+    point-sampled CE/dice over the SAME points) and check our on-device
+    matcher finds an assignment with the same optimal cost."""
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    from rba_tpu.config import LossConfig
+    from rba_tpu.ops.point_sample import point_sample
+    from rba_tpu.train.matcher import (
+        _batch_dice_cost,
+        _batch_sigmoid_ce_cost,
+        hungarian_match,
+    )
+
+    b, q, k, t, h, w = 2, 12, 5, 4, 16, 16
+    cfg = LossConfig(train_num_points=64)
+    pred_logits = rng.randn(b, q, k + 1).astype(np.float32)
+    pred_masks = rng.randn(b, q, h, w).astype(np.float32)
+    gt_labels = rng.randint(0, k, (b, t)).astype(np.int32)
+    gt_masks = (rng.rand(b, t, h, w) > 0.5).astype(np.float32)
+    gt_valid = np.ones((b, t), np.float32)
+
+    assignment = np.asarray(
+        hungarian_match(
+            jax.random.PRNGKey(0), cfg, jnp.asarray(pred_logits), jnp.asarray(pred_masks),
+            jnp.asarray(gt_labels), jnp.asarray(gt_masks), jnp.asarray(gt_valid),
+        )
+    )
+
+    # rebuild the cost with the same sampled points and verify optimality
+    coords = jax.random.uniform(jax.random.PRNGKey(0), (b, cfg.train_num_points, 2))
+    outp = point_sample(jnp.asarray(pred_masks), coords)
+    tgtp = point_sample(jnp.asarray(gt_masks), coords)
+    prob = jax.nn.softmax(jnp.asarray(pred_logits), -1)
+    cost_class = -np.take_along_axis(np.asarray(prob), gt_labels[:, None, :], axis=2)
+    cost = (
+        cfg.mask_weight * np.asarray(_batch_sigmoid_ce_cost(outp, tgtp))
+        + cfg.class_weight * cost_class
+        + cfg.dice_weight * np.asarray(_batch_dice_cost(outp, tgtp))
+    )
+    for i in range(b):
+        rows, cols = scipy_lsa(cost[i].T)  # rows=targets
+        want = cost[i].T[rows, cols].sum()
+        got = cost[i].T[np.arange(t), assignment[i]].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def _tiny_batch(rng, cfg, b=2, hw=64, t=3):
+    h = w = hw
+    return {
+        "images": jnp.asarray(rng.rand(b, h, w, 3) * 255, jnp.float32),
+        "gt_labels": jnp.asarray(rng.randint(0, cfg.num_classes, (b, t)), jnp.int32),
+        "gt_masks": jnp.asarray((rng.rand(b, t, h, w) > 0.5).astype(np.float32)),
+        "gt_valid": jnp.asarray(np.array([[1, 1, 0]] * b, np.float32)),
+    }
+
+
+def test_criterion_losses_finite(rng):
+    from rba_tpu.models.maskformer import maskformer_forward, maskformer_init, preprocess
+    from rba_tpu.train.criterion import criterion
+
+    cfg = tiny_test_config()
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    batch = _tiny_batch(rng, cfg)
+    x = preprocess(cfg, batch["images"])
+    outputs = maskformer_forward(params, cfg, x)
+    losses = criterion(cfg, jax.random.PRNGKey(1), outputs, batch)
+    assert "loss_ce" in losses and "loss_mask" in losses and "loss_dice" in losses
+    assert "loss_ce_0" in losses  # deep supervision for 2 dec layers
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_outlier_loss_matches_torch(rng):
+    """RbA squared-hinge outlier loss vs a direct torch computation."""
+    import dataclasses
+
+    import torch.nn.functional as F
+
+    from rba_tpu.config import OODConfig
+    from rba_tpu.train.criterion import outlier_loss
+
+    cfg = dataclasses.replace(
+        tiny_test_config(),
+        ood=OODConfig(
+            outlier_supervision=True, outlier_loss_target="nls", score_norm="tanh",
+            outlier_loss_func="squared_hinge", inlier_upper_threshold=-1.0,
+            outlier_lower_threshold=5.0,
+        ),
+    )
+    b, q, k, h, w = 2, 6, cfg.num_classes, 8, 8
+    pred_logits = rng.randn(b, q, k + 1).astype(np.float32)
+    pred_masks = rng.randn(b, q, h, w).astype(np.float32)
+    om = rng.choice([0, 1, 255], size=(b, 16, 16), p=[0.7, 0.2, 0.1]).astype(np.int32)
+
+    got = float(outlier_loss(cfg, jnp.asarray(pred_logits), jnp.asarray(pred_masks), jnp.asarray(om)))
+
+    cls = torch.softmax(torch.from_numpy(pred_logits), -1)[..., :-1]
+    m = torch.from_numpy(pred_masks).sigmoid()
+    logits = torch.einsum("bqc,bqhw->bchw", cls, m)
+    score = -logits.tanh().sum(dim=1)
+    score = F.interpolate(score.unsqueeze(1), size=(16, 16), mode="bilinear", align_corners=True).squeeze(1)
+    ood_mask = torch.from_numpy(om) == 1
+    id_mask = torch.from_numpy(om) == 0
+    loss = torch.pow(F.relu(score[id_mask] - (-1.0)), 2).mean()
+    if ood_mask.sum() > 0:
+        loss = 0.5 * (loss + torch.pow(F.relu(5.0 - score[ood_mask]), 2).mean())
+    np.testing.assert_allclose(got, float(loss), rtol=1e-4)
+
+
+def test_train_step_runs_on_mesh(rng):
+    from rba_tpu.parallel.mesh import make_mesh, shard_batch
+    from rba_tpu.train.train_step import make_train_state, make_train_step
+
+    cfg = tiny_test_config()
+    mesh = make_mesh(4)
+    state = make_train_state(jax.random.PRNGKey(0), cfg)
+    p0 = jax.tree.map(np.asarray, state.params)  # snapshot (state is donated)
+    step = make_train_step(cfg, mesh)
+    batch = shard_batch(mesh, _tiny_batch(rng, cfg, b=4, hw=32))
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["total"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # params actually changed
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - np.asarray(b)).max()), p0, state2.params)
+    assert max(jax.tree.leaves(delta)) > 0

@@ -179,3 +179,121 @@ def torch_sine_pos_embed(h, w, num_pos_feats=128, temperature=10000):
     pos_x = torch.stack((pos_x[:, :, :, 0::2].sin(), pos_x[:, :, :, 1::2].cos()), dim=4).flatten(3)
     pos_y = torch.stack((pos_y[:, :, :, 0::2].sin(), pos_y[:, :, :, 1::2].cos()), dim=4).flatten(3)
     return torch.cat((pos_y, pos_x), dim=3).permute(0, 3, 1, 2)  # (1, C, H, W)
+
+
+# ---------------------------------------------------------------------------
+# Mask2Former-style decoder assembly (post-norm residual blocks, masked
+# cross-attention with sigmoid<0.5 threshold + full-row unmask)
+# ---------------------------------------------------------------------------
+
+class TorchMiniMaskedDecoder(nn.Module):
+    def __init__(self, hidden_dim, nheads, dim_ff, num_layers, num_queries,
+                 num_classes, mask_dim, num_levels=1):
+        super().__init__()
+        self.nheads = nheads
+        self.num_layers = num_layers
+        self.num_levels = num_levels
+        self.query_feat = nn.Embedding(num_queries, hidden_dim)
+        self.query_embed = nn.Embedding(num_queries, hidden_dim)
+        self.level_embed = nn.Embedding(num_levels, hidden_dim)
+        self.cross_attn = nn.ModuleList(
+            [nn.MultiheadAttention(hidden_dim, nheads) for _ in range(num_layers)])
+        self.cross_norm = nn.ModuleList([nn.LayerNorm(hidden_dim) for _ in range(num_layers)])
+        self.self_attn = nn.ModuleList(
+            [nn.MultiheadAttention(hidden_dim, nheads) for _ in range(num_layers)])
+        self.self_norm = nn.ModuleList([nn.LayerNorm(hidden_dim) for _ in range(num_layers)])
+        self.ffn1 = nn.ModuleList([nn.Linear(hidden_dim, dim_ff) for _ in range(num_layers)])
+        self.ffn2 = nn.ModuleList([nn.Linear(dim_ff, hidden_dim) for _ in range(num_layers)])
+        self.ffn_norm = nn.ModuleList([nn.LayerNorm(hidden_dim) for _ in range(num_layers)])
+        self.decoder_norm = nn.LayerNorm(hidden_dim)
+        self.class_embed = nn.Linear(hidden_dim, num_classes + 1)
+        self.mask_mlp = nn.ModuleList([
+            nn.Linear(hidden_dim, hidden_dim), nn.Linear(hidden_dim, hidden_dim),
+            nn.Linear(hidden_dim, mask_dim)])
+
+    def mask_embed(self, x):
+        x = F.relu(self.mask_mlp[0](x))
+        x = F.relu(self.mask_mlp[1](x))
+        return self.mask_mlp[2](x)
+
+    def pred_heads(self, output, mask_features, size):
+        dec = self.decoder_norm(output).transpose(0, 1)  # (B, Q, C)
+        cls = self.class_embed(dec)
+        me = self.mask_embed(dec)
+        masks = torch.einsum("bqc,bchw->bqhw", me, mask_features)
+        am = F.interpolate(masks, size=size, mode="bilinear", align_corners=False)
+        am = (am.sigmoid().flatten(2).unsqueeze(1).repeat(1, self.nheads, 1, 1)
+              .flatten(0, 1) < 0.5).bool().detach()
+        return cls, masks, am
+
+    def forward(self, feats, pos_embeds, mask_features):
+        # feats: list of (B, C, h, w); mask_features: (B, C_mask, H, W)
+        srcs, poss, sizes = [], [], []
+        for i, (f, pe) in enumerate(zip(feats, pos_embeds)):
+            sizes.append(f.shape[-2:])
+            poss.append(pe.flatten(2).permute(2, 0, 1))
+            srcs.append(f.flatten(2).permute(2, 0, 1) + self.level_embed.weight[i][None, None])
+        bs = feats[0].shape[0]
+        qe = self.query_embed.weight.unsqueeze(1).repeat(1, bs, 1)
+        out = self.query_feat.weight.unsqueeze(1).repeat(1, bs, 1)
+        cls_list, mask_list = [], []
+        cls, masks, am = self.pred_heads(out, mask_features, sizes[0])
+        cls_list.append(cls); mask_list.append(masks)
+        for i in range(self.num_layers):
+            lvl = i % self.num_levels
+            am[torch.where(am.sum(-1) == am.shape[-1])] = False
+            y = self.cross_attn[i](query=out + qe, key=srcs[lvl] + poss[lvl],
+                                   value=srcs[lvl], attn_mask=am)[0]
+            out = self.cross_norm[i](out + y)
+            q = out + qe
+            y = self.self_attn[i](query=q, key=q, value=out)[0]
+            out = self.self_norm[i](out + y)
+            y = self.ffn2[i](F.relu(self.ffn1[i](out)))
+            out = self.ffn_norm[i](out + y)
+            cls, masks, am = self.pred_heads(out, mask_features, sizes[(i + 1) % self.num_levels])
+            cls_list.append(cls); mask_list.append(masks)
+        return cls_list, mask_list
+
+
+# ---------------------------------------------------------------------------
+# Deformable encoder layer + pixel-decoder pieces
+# ---------------------------------------------------------------------------
+
+class TorchDeformAttnModule(nn.Module):
+    """Deformable-DETR attention module: offsets/weights from query, bilinear
+    sample of per-head value maps (uses torch_ms_deform_attn_core)."""
+
+    def __init__(self, d_model, n_levels, n_heads, n_points):
+        super().__init__()
+        self.d = d_model; self.L = n_levels; self.M = n_heads; self.P = n_points
+        self.sampling_offsets = nn.Linear(d_model, n_heads * n_levels * n_points * 2)
+        self.attention_weights = nn.Linear(d_model, n_heads * n_levels * n_points)
+        self.value_proj = nn.Linear(d_model, d_model)
+        self.output_proj = nn.Linear(d_model, d_model)
+
+    def forward(self, query, reference_points, src, spatial_shapes):
+        N, Lq, C = query.shape
+        value = self.value_proj(src).view(N, -1, self.M, C // self.M)
+        off = self.sampling_offsets(query).view(N, Lq, self.M, self.L, self.P, 2)
+        aw = self.attention_weights(query).view(N, Lq, self.M, self.L * self.P)
+        aw = aw.softmax(-1).view(N, Lq, self.M, self.L, self.P)
+        normalizer = torch.tensor([[w, h] for (h, w) in spatial_shapes], dtype=torch.float32)
+        loc = reference_points[:, :, None, :, None, :] + off / normalizer[None, None, None, :, None, :]
+        out = torch_ms_deform_attn_core(value, spatial_shapes, loc, aw)
+        return self.output_proj(out)
+
+
+class TorchDeformEncoderLayer(nn.Module):
+    def __init__(self, d_model, d_ffn, n_levels, n_heads, n_points):
+        super().__init__()
+        self.attn = TorchDeformAttnModule(d_model, n_levels, n_heads, n_points)
+        self.norm1 = nn.LayerNorm(d_model)
+        self.linear1 = nn.Linear(d_model, d_ffn)
+        self.linear2 = nn.Linear(d_ffn, d_model)
+        self.norm2 = nn.LayerNorm(d_model)
+
+    def forward(self, src, pos, ref, spatial_shapes):
+        y = self.attn(src + pos, ref, src, spatial_shapes)
+        src = self.norm1(src + y)
+        y = self.linear2(F.relu(self.linear1(src)))
+        return self.norm2(src + y)
