@@ -27,20 +27,21 @@ def main():
     batch = 1
     params = maskformer_init(jax.random.PRNGKey(0), cfg)
 
-    fn = jax.jit(lambda p, x: maskformer_infer(p, cfg, x)["rba"])
+    # reduce to a scalar on device; float() forces a real host sync every
+    # iteration (block_until_ready proved unreliable through the TPU tunnel)
+    fn = jax.jit(lambda p, x: maskformer_infer(p, cfg, x)["rba"].sum())
     img = jnp.asarray(np.random.RandomState(0).rand(batch, h, w, 3) * 255, jnp.float32)
 
     # compile + warmup
-    fn(params, img).block_until_ready()
+    float(fn(params, img))
     t0 = time.perf_counter()
-    fn(params, img).block_until_ready()
+    float(fn(params, img))
     warm = time.perf_counter() - t0
 
-    iters = max(3, int(2.0 / max(warm, 1e-3)))
+    iters = max(3, int(3.0 / max(warm, 1e-3)))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, img)
-    out.block_until_ready()
+        float(fn(params, img))
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

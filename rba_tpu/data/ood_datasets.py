@@ -1,0 +1,367 @@
+"""Standalone OOD evaluation dataset readers.
+
+Behavioral spec: the torch ``Dataset`` classes under /root/reference/datasets/
+instantiated by support.get_datasets (/root/reference/support.py:27-95):
+  road_anomaly (road_anomaly.py:14-67, label 2→1),
+  fishyscapes_laf / fs_static v1+v2 (fishyscapes.py:19-120),
+  road_anomaly_21 resized to 720×1280 (segment_me_if_you_can.py:10-88;
+  support.py:78-81), road_obstacles (webp images, :90-177),
+  lost_and_found (lost_and_found.py:18-57, labels 1→0 / 2→1),
+  cityscapes val (cityscapes.py:13-160), bdd100k (bdd100k.py).
+
+Label convention everywhere: 0 = inlier, 1 = anomaly, 255 = ignore.
+
+Design: framework-free readers returning numpy (uint8 RGB image, int32
+label); batching/padding/resolution-bucketing is the evaluator's job, which
+keeps these pure-IO and lets the TPU pipeline prefetch on the host.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def _read_image(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
+def _read_label(path: str) -> np.ndarray:
+    arr = np.asarray(Image.open(path))
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    return arr.astype(np.int32)
+
+
+def _resize_pair(image, label, hw):
+    h, w = hw
+    img = np.asarray(Image.fromarray(image).resize((w, h), Image.BILINEAR), np.uint8)
+    lab = np.asarray(
+        Image.fromarray(label.astype(np.uint8)).resize((w, h), Image.NEAREST), np.int32
+    )
+    return img, lab
+
+
+@dataclass
+class Sample:
+    image: np.ndarray  # (H, W, 3) uint8
+    label: np.ndarray  # (H, W) int32 {0, 1, 255}
+    name: str
+
+
+class OODDataset:
+    """Base: a list of (image_path, label_path) + a label remap function."""
+
+    name = "base"
+
+    def __init__(self):
+        self.images: List[str] = []
+        self.labels: List[str] = []
+        self.resize_to: Optional[Tuple[int, int]] = None
+
+    def __len__(self):
+        return len(self.images)
+
+    def _remap(self, label: np.ndarray) -> np.ndarray:
+        return label
+
+    def __getitem__(self, i: int) -> Sample:
+        image = _read_image(self.images[i])
+        label = self._remap(_read_label(self.labels[i]))
+        if self.resize_to is not None:
+            image, label = _resize_pair(image, label, self.resize_to)
+        return Sample(image, label, os.path.basename(self.images[i]))
+
+    def __iter__(self) -> Iterator[Sample]:
+        for i in range(len(self)):
+            yield self[i]
+
+
+class RoadAnomaly(OODDataset):
+    """frame_list.json + frames/<img> + frames/<img>.labels/labels_semantic.png;
+    label 2 (ignore convention of the raw data) maps to anomaly=1."""
+
+    name = "road_anomaly"
+
+    def __init__(self, root: str):
+        super().__init__()
+        with open(os.path.join(root, "frame_list.json")) as f:
+            frames = json.load(f)
+        for fname in frames:
+            self.images.append(os.path.join(root, "frames", fname))
+            self.labels.append(
+                os.path.join(root, "frames", fname[:-4] + ".labels", "labels_semantic.png")
+            )
+
+    def _remap(self, label):
+        return np.where(label == 2, 1, label).astype(np.int32)
+
+
+class FishyscapesLAF(OODDataset):
+    """fishyscapes_lostandfound/<label>.png + laf_images/<id>leftImg8bit.png."""
+
+    name = "fishyscapes_laf"
+
+    def __init__(self, root: str):
+        super().__init__()
+        labels_path = os.path.join(root, "fishyscapes_lostandfound")
+        for lbl in sorted(os.listdir(labels_path)):
+            self.labels.append(os.path.join(labels_path, lbl))
+            self.images.append(os.path.join(root, "laf_images", lbl[5:-10] + "leftImg8bit.png"))
+
+
+class FishyscapesStatic(OODDataset):
+    name = "fs_static"
+
+    def __init__(self, root: str, version: int = 1):
+        super().__init__()
+        if version not in (1, 2):
+            raise ValueError(f"FishyscapesStatic versions are 1/2, got {version}")
+        if version == 2:
+            self.name = "fs_static_v2"
+        labels_root = os.path.join(root, f"fs_val_v{version}")
+        images_root = os.path.join(root, f"fs_static_images_v{version}")
+        for f in sorted(os.listdir(labels_root)):
+            if not f.endswith("png"):
+                continue
+            self.labels.append(os.path.join(labels_root, f))
+            self.images.append(os.path.join(images_root, f[:-10] + "rgb.png"))
+
+
+class _SMIYC(OODDataset):
+    """SegmentMeIfYouCan track: images/ + labels_masks/; 'validation' files
+    have labels, the rest are held-out test."""
+
+    label_suffix_strip = 4  # strip ".png"
+
+    def __init__(self, root: str, mode: str = "val"):
+        super().__init__()
+        images_root = os.path.join(root, "images")
+        labels_root = os.path.join(root, "labels_masks")
+        files = sorted(os.listdir(images_root))
+        for f in files:
+            is_val = "validation" in f
+            if mode == "val" and not is_val:
+                continue
+            if mode == "test" and is_val:
+                continue
+            self.images.append(os.path.join(images_root, f))
+            if is_val:
+                self.labels.append(
+                    os.path.join(
+                        labels_root, f[: -self.label_suffix_strip] + "_labels_semantic.png"
+                    )
+                )
+            else:
+                self.labels.append("")
+
+    def __getitem__(self, i: int) -> Sample:
+        image = _read_image(self.images[i])
+        if self.labels[i]:
+            label = self._remap(_read_label(self.labels[i]))
+        else:
+            label = np.zeros(image.shape[:2], np.int32)
+        if self.resize_to is not None:
+            image, label = _resize_pair(image, label, self.resize_to)
+        return Sample(image, label, os.path.basename(self.images[i]))
+
+
+class RoadAnomaly21(_SMIYC):
+    """SMIYC AnomalyTrack; evaluated at 720×1280 (support.py:78-81)."""
+
+    name = "road_anomaly_21"
+    label_suffix_strip = 4  # .jpg
+
+    def __init__(self, root: str, mode: str = "val", resize_to=(720, 1280)):
+        super().__init__(root, mode)
+        self.resize_to = resize_to
+
+
+class RoadObstacle21(_SMIYC):
+    """SMIYC ObstacleTrack; .webp images (PIL decodes webp natively)."""
+
+    name = "road_obstacles"
+    label_suffix_strip = 5  # .webp
+
+    def __init__(self, root: str, mode: str = "val"):
+        super().__init__(root, mode)
+
+
+class LostAndFound(OODDataset):
+    """leftImg8bit/<mode>/** + gtCoarse labelTrainIds; labels 1→0, 2→1."""
+
+    name = "lost_and_found"
+
+    def __init__(self, root: str, mode: str = "test"):
+        super().__init__()
+        img_root = os.path.join(root, "leftImg8bit", mode)
+        for dirpath, _, files in sorted(os.walk(img_root)):
+            for f in sorted(files):
+                if not f.endswith(".png"):
+                    continue
+                base = "_".join(f.split("_")[:-1])
+                city = "_".join(f.split("_")[:-3])
+                self.images.append(os.path.join(dirpath, base + "_leftImg8bit.png"))
+                self.labels.append(
+                    os.path.join(root, "gtCoarse", mode, city, base + "_gtCoarse_labelTrainIds.png")
+                )
+
+    def _remap(self, label):
+        out = label.copy()
+        out[label == 1] = 0
+        out[label == 2] = 1
+        return out.astype(np.int32)
+
+
+# Cityscapes labelId → trainId (the standard 19-class mapping; reference
+# datasets/cityscapes.py:27-64)
+CITYSCAPES_ID_TO_TRAIN = np.full((256,), 255, np.int32)
+for _tid, _ids in enumerate(
+    [7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 31, 32, 33]
+):
+    CITYSCAPES_ID_TO_TRAIN[_ids] = _tid
+
+CITYSCAPES_CLASSES = (
+    "road", "sidewalk", "building", "wall", "fence", "pole", "traffic light",
+    "traffic sign", "vegetation", "terrain", "sky", "person", "rider", "car",
+    "truck", "bus", "train", "motorcycle", "bicycle",
+)
+
+
+class CityscapesSemSeg(OODDataset):
+    """Cityscapes val split for mIoU (not anomaly): returns trainId labels.
+    Prefers *_labelTrainIds.png; falls back to mapping *_labelIds.png."""
+
+    name = "cityscapes"
+
+    def __init__(self, root: str, split: str = "val"):
+        super().__init__()
+        img_root = os.path.join(root, "leftImg8bit", split)
+        gt_root = os.path.join(root, "gtFine", split)
+        self._from_train_ids = []
+        for city in sorted(os.listdir(img_root)):
+            for f in sorted(os.listdir(os.path.join(img_root, city))):
+                base = f[: -len("_leftImg8bit.png")]
+                self.images.append(os.path.join(img_root, city, f))
+                tid = os.path.join(gt_root, city, base + "_gtFine_labelTrainIds.png")
+                lid = os.path.join(gt_root, city, base + "_gtFine_labelIds.png")
+                if os.path.exists(tid):
+                    self.labels.append(tid)
+                    self._from_train_ids.append(True)
+                else:
+                    self.labels.append(lid)
+                    self._from_train_ids.append(False)
+
+    def __getitem__(self, i: int) -> Sample:
+        image = _read_image(self.images[i])
+        label = _read_label(self.labels[i])
+        if not self._from_train_ids[i]:
+            label = CITYSCAPES_ID_TO_TRAIN[np.clip(label, 0, 255)]
+        return Sample(image, label.astype(np.int32), os.path.basename(self.images[i]))
+
+
+class BDD100KSeg(OODDataset):
+    """BDD100K semantic segmentation (reference datasets/bdd100k.py):
+    images/<split>/*.jpg + labels/<split>/*_train_id.png, at 720×1280."""
+
+    name = "bdd100k"
+
+    def __init__(self, root: str, split: str = "val", resize_to=(720, 1280)):
+        super().__init__()
+        img_root = os.path.join(root, "images", split)
+        lab_root = os.path.join(root, "labels", split)
+        for f in sorted(os.listdir(img_root)):
+            base = os.path.splitext(f)[0]
+            self.images.append(os.path.join(img_root, f))
+            self.labels.append(os.path.join(lab_root, base + "_train_id.png"))
+        self.resize_to = resize_to
+
+
+class StreetHazards(OODDataset):
+    """StreetHazards (reference datasets/street_hazards.py): images/<split>/**
+    + annotations/<split>/**; anomaly class id 13 → 1, rest → 0."""
+
+    name = "street_hazards"
+    ANOMALY_ID = 13
+
+    def __init__(self, root: str, split: str = "test"):
+        super().__init__()
+        img_root = os.path.join(root, "images", split)
+        ann_root = os.path.join(root, "annotations", split)
+        for dirpath, _, files in sorted(os.walk(img_root)):
+            for f in sorted(files):
+                if not f.endswith(".png"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, f), img_root)
+                self.images.append(os.path.join(img_root, rel))
+                self.labels.append(os.path.join(ann_root, rel))
+
+    def _remap(self, label):
+        return (label == self.ANOMALY_ID + 1).astype(np.int32)  # ids are 1-based
+
+
+class SyntheticAnomaly(OODDataset):
+    """Procedural dataset for tests/benches: inlier background with a bright
+    square anomaly.  No file IO."""
+
+    name = "synthetic"
+
+    def __init__(self, n: int = 4, hw: Tuple[int, int] = (128, 192), seed: int = 0):
+        super().__init__()
+        self.n = n
+        self.hw = hw
+        self.seed = seed
+        self.images = [str(i) for i in range(n)]
+        self.labels = [str(i) for i in range(n)]
+
+    def __getitem__(self, i: int) -> Sample:
+        rng = np.random.RandomState(self.seed + i)
+        h, w = self.hw
+        img = (rng.rand(h, w, 3) * 80 + 60).astype(np.uint8)
+        label = np.zeros((h, w), np.int32)
+        y, x = rng.randint(0, h // 2), rng.randint(0, w // 2)
+        sh, sw = h // 4, w // 4
+        img[y : y + sh, x : x + sw] = 250
+        label[y : y + sh, x : x + sw] = 1
+        label[:2] = 255  # ignore strip
+        return Sample(img, label, f"synthetic_{i}")
+
+
+def get_datasets(datasets_folder: str) -> dict:
+    """Mirror of support.get_datasets (support.py:27-95): instantiate the
+    standard evaluation suite rooted at ``datasets_folder``.  Missing dataset
+    folders are skipped with a note so partial data directories still work."""
+    specs = {
+        "road_anomaly": lambda: RoadAnomaly(
+            os.path.join(datasets_folder, "RoadAnomaly/RoadAnomaly_jpg")
+        ),
+        "fishyscapes_laf": lambda: FishyscapesLAF(os.path.join(datasets_folder, "Fishyscapes")),
+        "fs_static": lambda: FishyscapesStatic(os.path.join(datasets_folder, "Fishyscapes"), 1),
+        "fs_static_v2": lambda: FishyscapesStatic(os.path.join(datasets_folder, "Fishyscapes"), 2),
+        "road_anomaly_21": lambda: RoadAnomaly21(
+            os.path.join(datasets_folder, "SegmentMeIfYouCan/dataset_AnomalyTrack")
+        ),
+        "road_obstacles": lambda: RoadObstacle21(
+            os.path.join(datasets_folder, "SegmentMeIfYouCan/dataset_ObstacleTrack")
+        ),
+        "lost_and_found": lambda: LostAndFound(os.path.join(datasets_folder, "LostAndFound")),
+        "cityscapes": lambda: CityscapesSemSeg(os.path.join(datasets_folder, "cityscapes")),
+        "bdd100k": lambda: BDD100KSeg(os.path.join(datasets_folder, "bdd100k/seg")),
+    }
+    out = {}
+    for name, ctor in specs.items():
+        try:
+            ds = ctor()
+        except (FileNotFoundError, OSError):
+            continue
+        if len(ds) > 0:  # os.walk-based readers yield empty sets when absent
+            out[name] = ds
+    return out

@@ -1,0 +1,136 @@
+"""OOD segmentation metrics: AUPRC (average precision), AUROC, FPR@95TPR.
+
+Behavioral spec: /root/reference/support.py:247-303 (OODEvaluator.evaluate_ood
+— flattens all pixels, sklearn ``average_precision_score`` + ``roc_curve``
+with FPR at the first tpr >= 0.95) and :305-351 (bootstrapped mean±std).
+
+TPU-native design: instead of hauling every pixel score to the host and
+sorting ~60×2M floats in sklearn (the reference's second hot spot,
+SURVEY.md §3.1), scores are accumulated into fixed-width histograms on
+device (a pure jnp reduction that runs per-image inside jit and sums across
+chips with psum).  AUPRC/AUROC/FPR95 are then computed from the histogram
+counts on the host in O(bins).  With 2^16 bins over the score range the
+error vs exact sklearn is < 1e-3 (validated in tests/test_metrics.py).
+Exact sklearn-equivalent computation is also provided for parity testing.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# RbA scores are bounded: -Σ_k tanh ∈ [-K, K]; leave headroom for energy etc.
+DEFAULT_RANGE = (-64.0, 64.0)
+DEFAULT_BINS = 1 << 16
+
+
+def histogram_update(
+    scores: jax.Array,  # (…,) anomaly scores
+    labels: jax.Array,  # (…,) int: 0 inlier, 1 anomaly, 255 ignore
+    bins: int = DEFAULT_BINS,
+    score_range: Tuple[float, float] = DEFAULT_RANGE,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (pos_hist, neg_hist) int32 histograms of anomaly/inlier pixel
+    scores.  Jit-friendly; sum histograms across images/chips."""
+    lo, hi = score_range
+    s = jnp.clip(scores.reshape(-1).astype(jnp.float32), lo, hi)
+    idx = ((s - lo) * (bins / (hi - lo))).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, bins - 1)
+    lab = labels.reshape(-1)
+    pos = jnp.zeros((bins,), jnp.int32).at[idx].add((lab == 1).astype(jnp.int32))
+    neg = jnp.zeros((bins,), jnp.int32).at[idx].add((lab == 0).astype(jnp.int32))
+    return pos, neg
+
+
+def metrics_from_histograms(pos_hist: np.ndarray, neg_hist: np.ndarray) -> Dict[str, float]:
+    """AUPRC / AUROC / FPR@95TPR from score histograms (host, O(bins)).
+
+    Matches sklearn conventions: thresholds descend (high score = anomaly),
+    average_precision = Σ (R_i − R_{i−1})·P_i, FPR95 = fpr at the first
+    tpr >= 0.95 on the ROC curve (support.py:295-303).
+    """
+    pos = np.asarray(pos_hist, np.float64)
+    neg = np.asarray(neg_hist, np.float64)
+    p_total = pos.sum()
+    n_total = neg.sum()
+    if p_total == 0 or n_total == 0:
+        return {"AUPRC": float("nan"), "AUROC": float("nan"), "FPR@95TPR": float("nan")}
+
+    # descending score order: reverse cumulative sums
+    tp = np.cumsum(pos[::-1])
+    fp = np.cumsum(neg[::-1])
+    # keep only bins where threshold changes matter (nonzero counts)
+    nz = (pos[::-1] + neg[::-1]) > 0
+    tp, fp = tp[nz], fp[nz]
+
+    tpr = tp / p_total
+    fpr = fp / n_total
+    precision = tp / np.maximum(tp + fp, 1)
+    recall = tpr
+
+    # average precision: sum over recall increments
+    r_prev = np.concatenate([[0.0], recall[:-1]])
+    auprc = float(np.sum((recall - r_prev) * precision))
+
+    # AUROC: trapezoid over (fpr, tpr) with (0,0) prepended
+    fpr_full = np.concatenate([[0.0], fpr])
+    tpr_full = np.concatenate([[0.0], tpr])
+    auroc = float(np.trapezoid(tpr_full, fpr_full))
+
+    # FPR at first tpr >= 0.95
+    k = np.searchsorted(tpr, 0.95, side="left")
+    k = min(k, len(fpr) - 1)
+    fpr95 = float(fpr[k])
+    return {"AUPRC": auprc, "AUROC": auroc, "FPR@95TPR": fpr95}
+
+
+def exact_ood_metrics(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+    """Exact (sklearn-equivalent) metrics from raw flattened pixels — the
+    reference's computation (support.py:270-303), used for parity tests and
+    small datasets."""
+    mask = labels != 255
+    s = scores[mask].astype(np.float64)
+    y = (labels[mask] == 1).astype(np.int64)
+    order = np.argsort(-s, kind="mergesort")
+    s, y = s[order], y[order]
+    distinct = np.where(np.diff(s))[0]
+    idxs = np.concatenate([distinct, [len(s) - 1]])
+
+    tp = np.cumsum(y)[idxs]
+    fp = (idxs + 1) - tp
+    p_total = y.sum()
+    n_total = len(y) - p_total
+    if p_total == 0 or n_total == 0:
+        return {"AUPRC": float("nan"), "AUROC": float("nan"), "FPR@95TPR": float("nan")}
+    tpr = tp / p_total
+    fpr = fp / n_total
+    precision = tp / (tp + fp)
+    r_prev = np.concatenate([[0.0], tpr[:-1]])
+    auprc = float(np.sum((tpr - r_prev) * precision))
+    auroc = float(np.trapezoid(np.concatenate([[0.0], tpr]), np.concatenate([[0.0], fpr])))
+    k = np.searchsorted(tpr, 0.95, side="left")
+    k = min(k, len(fpr) - 1)
+    return {"AUPRC": auprc, "AUROC": auroc, "FPR@95TPR": float(fpr[k])}
+
+
+class StreamingOODMetrics:
+    """Accumulate per-image histograms (device) → final metrics (host)."""
+
+    def __init__(self, bins: int = DEFAULT_BINS, score_range=DEFAULT_RANGE):
+        self.bins = bins
+        self.range = score_range
+        self.pos = np.zeros((bins,), np.int64)
+        self.neg = np.zeros((bins,), np.int64)
+        self._update = jax.jit(
+            lambda s, l: histogram_update(s, l, bins=bins, score_range=score_range)
+        )
+
+    def update(self, scores, labels):
+        p, n = self._update(scores, labels)
+        self.pos += np.asarray(p, np.int64)
+        self.neg += np.asarray(n, np.int64)
+
+    def compute(self) -> Dict[str, float]:
+        return metrics_from_histograms(self.pos, self.neg)

@@ -1,0 +1,150 @@
+"""Model-zoo OOD evaluation sweep CLI.
+
+Behavioral spec: /root/reference/evaluate_ood.py:25-291 — iterate a models
+folder (each subdir holding ``config.yaml`` + checkpoint), evaluate each
+model on each dataset, skip models whose ``results.pkl`` already exists
+(resumable sweeps), optionally dump anomaly-score PNGs, pickle results.
+
+Usage:
+    python -m rba_tpu.evalx.sweep \
+        --models_folder ckpts/ --datasets_folder datasets/ \
+        --model_mode all --dataset_mode all --score_func rba
+
+Checkpoints are our native ``.npz`` trees (see rba_tpu/convert) converted
+from the released Detectron2 ``.pth`` files; ``model_final.pth`` files found
+next to a config are converted on the fly when torch is available.
+
+Multi-chip: pass --shard i/n to run the i-th shard of the (model, dataset)
+work list — the TPU-native replacement for the reference's per-GPU manual
+sweep splitting; results merge by file layout.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+from pprint import pprint
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--models_folder", default="ckpts/")
+    p.add_argument("--datasets_folder", default="datasets/")
+    p.add_argument("--model_mode", default="all", help="'all' or comma list of model dirs")
+    p.add_argument("--dataset_mode", default="all", help="'all' or comma list of dataset names")
+    p.add_argument("--score_func", default="rba", choices=["rba", "pebal", "dense_hybrid"])
+    p.add_argument("--out_path", default="results/")
+    p.add_argument("--models_list", nargs="*", default=None)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--store_anomaly_scores", action="store_true")
+    p.add_argument("--upper_limit", type=int, default=1300)
+    p.add_argument("--smoothing", action="store_true")
+    p.add_argument("--exact", action="store_true",
+                   help="all-pixel sklearn-equivalent metrics instead of streaming histograms")
+    p.add_argument("--shard", default=None, help="i/n work-list sharding for multi-host sweeps")
+    return p.parse_args(argv)
+
+
+def result_exists(out_path: str, model_name: str) -> bool:
+    return os.path.exists(os.path.join(out_path, model_name, "results.pkl"))
+
+
+def save_results(out_path: str, model_name: str, results: dict, verbose: bool):
+    if verbose:
+        pprint(results)
+    store = os.path.join(out_path, model_name)
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, "results.pkl"), "wb") as f:
+        pickle.dump(results, f)
+    with open(os.path.join(store, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def load_model(model_dir: str):
+    """config.yaml + model weights (native .npz or converted D2 .pth)."""
+    from ..config import load_d2_config
+    from ..convert.checkpoint import load_checkpoint_params
+
+    cfg = load_d2_config(os.path.join(model_dir, "config.yaml"))
+    params = load_checkpoint_params(model_dir, cfg)
+    return cfg, params
+
+
+def store_score_pngs(scores: np.ndarray, path: str):
+    os.makedirs(path, exist_ok=True)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.image as mpimg
+
+        for i, s in enumerate(scores):
+            mpimg.imsave(os.path.join(path, f"score_{i}.png"), s.squeeze(), cmap="viridis")
+    except ImportError:
+        for i, s in enumerate(scores):
+            np.save(os.path.join(path, f"score_{i}.npy"), s.squeeze())
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..data.ood_datasets import get_datasets
+    from .evaluator import OODEvaluator
+
+    datasets = get_datasets(args.datasets_folder)
+    if args.dataset_mode != "all":
+        keep = set(args.dataset_mode.split(","))
+        datasets = {k: v for k, v in datasets.items() if k in keep}
+
+    if args.models_list:
+        model_dirs = [os.path.join(args.models_folder, m) for m in args.models_list]
+    elif args.model_mode == "all":
+        model_dirs = sorted(
+            os.path.join(args.models_folder, d)
+            for d in os.listdir(args.models_folder)
+            if os.path.isdir(os.path.join(args.models_folder, d))
+        )
+    else:
+        model_dirs = [os.path.join(args.models_folder, m) for m in args.model_mode.split(",")]
+
+    work = [(m, d) for m in model_dirs for d in sorted(datasets)]
+    if args.shard:
+        i, n = (int(v) for v in args.shard.split("/"))
+        work = work[i::n]
+
+    results_by_model: dict = {}
+    loaded = {}
+    for model_dir, ds_name in work:
+        model_name = os.path.basename(model_dir.rstrip("/"))
+        if result_exists(args.out_path, model_name) and args.shard is None:
+            print(f"skip {model_name}: results.pkl exists")
+            continue
+        if model_dir not in loaded:
+            print(f"loading {model_name} ...")
+            cfg, params = load_model(model_dir)
+            loaded.clear()  # keep one model in memory
+            loaded[model_dir] = OODEvaluator(
+                cfg, params, score=args.score_func, use_gaussian_smoothing=args.smoothing
+            )
+        evaluator = loaded[model_dir]
+        print(f"evaluating {model_name} on {ds_name} ({len(datasets[ds_name])} images)")
+        if args.exact or args.store_anomaly_scores:
+            scores, gts = evaluator.compute_anomaly_scores(
+                datasets[ds_name], upper_limit=args.upper_limit
+            )
+            if args.store_anomaly_scores:
+                store_score_pngs(scores, os.path.join("anomaly_scores", model_name, ds_name))
+            metrics = evaluator.evaluate_ood(scores, gts)
+        else:
+            metrics = evaluator.evaluate_dataset(datasets[ds_name], upper_limit=args.upper_limit)
+        print(f"  {metrics}")
+        results_by_model.setdefault(model_name, {})[ds_name] = metrics
+
+    for model_name, res in results_by_model.items():
+        save_results(args.out_path, model_name, res, args.verbose)
+
+
+if __name__ == "__main__":
+    main()

@@ -140,4 +140,11 @@ def maskformer_infer(
     sem = semantic_inference(mask_cls, mask_pred)  # (B, K, Hp, Wp)
     sem = sem[:, :, :h_img, :w_img]
     sem = resize_bilinear(sem, out_hw, align_corners=False)
-    return {"sem_seg": sem, "rba": rba_score(sem)}
+    result = {"sem_seg": sem, "rba": rba_score(sem)}
+    if "ood_pred" in outputs:
+        # DenseHybrid auxiliary head, resized with align_corners=True
+        # (reference maskformer_model.py:303-305)
+        result["ood_pred"] = resize_bilinear(
+            outputs["ood_pred"], (h_img, w_img), align_corners=True
+        )
+    return result
