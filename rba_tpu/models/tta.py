@@ -1,0 +1,68 @@
+"""Test-time augmentation: multi-scale + horizontal-flip averaging.
+
+Behavioral spec: /root/reference/mask2former/test_time_augmentation.py:71-98
+(SemanticSegmentorWithTTA._inference_one_image): run the model on each
+(scale, flip) variant, un-flip flipped ``sem_seg`` outputs, and average the
+class-probability maps at the original resolution.  Scales come from
+TEST.AUG.MIN_SIZES via D2 ResizeShortestEdge semantics (shortest edge → s,
+capped so the longest edge ≤ max_size).
+
+TPU design: each (scale, flip) is one jitted call (cached per shape); the
+running sum stays on device at (K, H, W).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RbAConfig
+from ..ops.resize import resize_bilinear_nhwc
+from .maskformer import maskformer_infer
+
+
+def resize_shortest_edge_size(h: int, w: int, size: int, max_size: int) -> Tuple[int, int]:
+    scale = size / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    return int(h * scale + 0.5), int(w * scale + 0.5)
+
+
+def tta_inference(
+    params,
+    cfg: RbAConfig,
+    image: np.ndarray,  # (H, W, 3) raw RGB
+    min_sizes: Optional[Sequence[int]] = None,
+    flip: Optional[bool] = None,
+) -> jax.Array:
+    """Averaged (K, H, W) sem_seg probabilities over all augmentations."""
+    min_sizes = tuple(min_sizes if min_sizes is not None else cfg.test.aug_min_sizes)
+    flip = cfg.test.aug_flip if flip is None else flip
+    h, w = image.shape[:2]
+
+    @functools.lru_cache(maxsize=64)
+    def infer_at(hh: int, ww: int, flipped: bool):
+        def fn(params, img):
+            x = resize_bilinear_nhwc(img, (hh, ww))
+            if flipped:
+                x = x[:, :, ::-1, :]
+            sem = maskformer_infer(params, cfg, x, out_hw=(h, w))["sem_seg"]
+            if flipped:
+                sem = sem[..., ::-1]
+            return sem[0]
+
+        return jax.jit(fn)
+
+    img = jnp.asarray(image[None], jnp.float32)
+    total = None
+    count = 0
+    for s in min_sizes:
+        hh, ww = resize_shortest_edge_size(h, w, s, cfg.test.aug_max_size)
+        for flipped in ((False, True) if flip else (False,)):
+            sem = infer_at(hh, ww, flipped)(params, img)
+            total = sem if total is None else total + sem
+            count += 1
+    return total / count
