@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     from rba_tpu.config import load_d2_config
-    from rba_tpu.models.maskformer import maskformer_infer, maskformer_init
+    from rba_tpu.models.maskformer import maskformer_infer_rba, maskformer_init
 
     cfg = load_d2_config("/root/reference/ckpts/swin_b_1dl/config.yaml")
 
@@ -29,7 +29,7 @@ def main():
 
     # reduce to a scalar on device; float() forces a real host sync every
     # iteration (block_until_ready proved unreliable through the TPU tunnel)
-    fn = jax.jit(lambda p, x: maskformer_infer(p, cfg, x)["rba"].sum())
+    fn = jax.jit(lambda p, x: maskformer_infer_rba(p, cfg, x).sum())
     img = jnp.asarray(np.random.RandomState(0).rand(batch, h, w, 3) * 255, jnp.float32)
 
     # compile + warmup

@@ -52,6 +52,12 @@ def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = 
     @functools.lru_cache(maxsize=32)
     def for_shape(shape: Tuple[int, ...]):
         def fn(params, images):
+            if score == "rba" and not smoothing:
+                # fused Pallas tail; exact because the eval path feeds
+                # original-resolution images (crop-only postprocess)
+                from ..models.maskformer import maskformer_infer_rba
+
+                return maskformer_infer_rba(params, cfg, images)
             out = maskformer_infer(params, cfg, images)
             logits = out["sem_seg"]
             if score == "rba":

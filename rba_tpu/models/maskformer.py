@@ -113,6 +113,32 @@ def energy_score(sem_seg: jax.Array, temperature: float = 1.0) -> jax.Array:
     return -temperature * jax.nn.logsumexp(sem_seg.astype(jnp.float32) / temperature, axis=-3)
 
 
+def maskformer_infer_rba(
+    params,
+    cfg: RbAConfig,
+    images: jax.Array,  # (B, H, W, 3) raw RGB float
+) -> jax.Array:
+    """Fast RbA-only inference: the full-resolution tail (mask upsample →
+    sigmoid → class einsum → -Σ tanh) runs as one fused Pallas kernel
+    (rba_tpu/ops/pallas/fused_rba.py) and the padded region is cropped off.
+    Exactly equivalent to ``maskformer_infer(...)["rba"]`` when the output
+    resolution equals the input resolution (the reference eval path feeds
+    original-size images, so sem_seg_postprocess only crops — no resize:
+    evaluate_ood.py:143-150 + support.py get_datasets)."""
+    h_img, w_img = images.shape[1], images.shape[2]
+    x = preprocess(cfg, images)
+    outputs = maskformer_forward(params, cfg, x)
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas.fused_rba import fused_rba_score
+
+        rba = fused_rba_score(outputs["pred_logits"], outputs["pred_masks"])
+    else:
+        from ..ops.pallas.fused_rba import fused_rba_score_reference
+
+        rba = fused_rba_score_reference(outputs["pred_logits"], outputs["pred_masks"])
+    return rba[:, :h_img, :w_img]
+
+
 def maskformer_infer(
     params,
     cfg: RbAConfig,

@@ -10,24 +10,24 @@ conventions matter for score parity (SURVEY.md §7 "hard parts"):
   * final mask upsample to padded input size — align_corners=False
     (/root/reference/mask2former/maskformer_model.py:294-299)
   * sem_seg_postprocess resize to original resolution — align_corners=False
-    (detectron2.modeling.postprocessing.sem_seg_postprocess)
 
 PyTorch (antialias off) samples the source at
     src = (dst + 0.5) * (in/out) - 0.5            # align_corners=False
     src = dst * (in-1)/(out-1)                    # align_corners=True
 then clamps the *neighbor indices* to [0, in-1] (border replicate).
 
-We implement the resize separably as two dense matmuls with precomputed
-interpolation matrices.  Each output row/col depends on ≤2 input rows/cols so
-the matrices are 2-sparse, but expressing them as dense (out, in) matmuls maps
-straight onto the TPU MXU and lets XLA fuse the surrounding elementwise work —
-this beats a gather formulation for the big final upsample (Q×H×W fp32 map).
-The matrices are built in numpy at trace time (shapes are static under jit).
+Implementation: separable 1-D interpolation, each output row/col =
+w0·in[lo] + w1·in[lo+1hi], expressed as two gathers + a lerp.  Bilinear is
+2-sparse, so a gather is O(out) HBM traffic while a dense interp-matrix
+matmul would be O(out·in) MXU work — at the final mask upsample
+(Q=100 × 1024×2048 from 256×512) the dense form costs ~240 GFLOPs; the
+gather form streams ~1 GB.  Indices/weights are numpy constants (shapes are
+static under jit).
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,30 +35,31 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=256)
-def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
-    """Dense (out_size, in_size) bilinear interpolation matrix (float32)."""
-    w = np.zeros((out_size, in_size), dtype=np.float32)
-    if in_size == 1:
-        w[:, 0] = 1.0
-        return w
+def _interp_coeffs(in_size: int, out_size: int, align_corners: bool):
+    """Per output index: (lo, hi, frac) with torch clamping semantics."""
     dst = np.arange(out_size, dtype=np.float64)
+    if in_size == 1:
+        lo = np.zeros(out_size, np.int32)
+        return lo, lo, np.zeros(out_size, np.float32)
     if align_corners:
-        if out_size == 1:
-            src = np.zeros((1,), dtype=np.float64)
-        else:
-            src = dst * (in_size - 1) / (out_size - 1)
+        src = np.zeros_like(dst) if out_size == 1 else dst * (in_size - 1) / (out_size - 1)
     else:
         src = (dst + 0.5) * (in_size / out_size) - 0.5
-    # torch clamps src to >= 0 before splitting into floor/frac
     src = np.clip(src, 0.0, None)
-    lo = np.floor(src).astype(np.int64)
-    lo = np.clip(lo, 0, in_size - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
     hi = np.minimum(lo + 1, in_size - 1)
-    frac = (src - lo).astype(np.float64)
-    frac = np.clip(frac, 0.0, 1.0)
-    np.add.at(w, (np.arange(out_size), lo), (1.0 - frac).astype(np.float32))
-    np.add.at(w, (np.arange(out_size), hi), frac.astype(np.float32))
-    return w
+    frac = np.clip(src - lo, 0.0, 1.0).astype(np.float32)
+    return lo.astype(np.int32), hi.astype(np.int32), frac
+
+
+def _interp_axis(y: jax.Array, axis: int, in_size: int, out_size: int, align_corners: bool):
+    lo, hi, frac = _interp_coeffs(in_size, out_size, align_corners)
+    lo_t = jnp.take(y, jnp.asarray(lo), axis=axis)
+    hi_t = jnp.take(y, jnp.asarray(hi), axis=axis)
+    shape = [1] * y.ndim
+    shape[axis] = out_size
+    f = jnp.asarray(frac).reshape(shape)
+    return lo_t * (1.0 - f) + hi_t * f
 
 
 def resize_bilinear(
@@ -75,15 +76,11 @@ def resize_bilinear(
     h_in, w_in = x.shape[-2], x.shape[-1]
     h_out, w_out = out_hw
     if (h_in, w_in) == (h_out, w_out):
-        return x
+        return x if dtype is None else x.astype(dtype)
     compute_dtype = dtype or (x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32)
-    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), dtype=compute_dtype)
-    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), dtype=compute_dtype)
     y = x.astype(compute_dtype)
-    # (..., H_in, W_in) -> (..., H_out, W_in): contract H_in with mh^T.
-    # HIGHEST precision keeps the fp32 interpolation exact on the MXU.
-    y = jnp.einsum("...hw,oh->...ow", y, mh, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("...hw,ow->...ho", y, mw, precision=jax.lax.Precision.HIGHEST)
+    y = _interp_axis(y, x.ndim - 2, h_in, h_out, align_corners)
+    y = _interp_axis(y, x.ndim - 1, w_in, w_out, align_corners)
     return y.astype(x.dtype) if dtype is None else y
 
 
@@ -96,9 +93,7 @@ def resize_bilinear_nhwc(
     if (h_in, w_in) == (h_out, w_out):
         return x
     compute_dtype = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
-    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), dtype=compute_dtype)
-    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), dtype=compute_dtype)
     y = x.astype(compute_dtype)
-    y = jnp.einsum("nhwc,oh->nowc", y, mh, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("nhwc,ow->nhoc", y, mw, precision=jax.lax.Precision.HIGHEST)
+    y = _interp_axis(y, 1, h_in, h_out, align_corners)
+    y = _interp_axis(y, 2, w_in, w_out, align_corners)
     return y.astype(x.dtype)

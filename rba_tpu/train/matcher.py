@@ -58,6 +58,11 @@ def hungarian_match(
     """Returns (B, T) assigned query index per (padded) target."""
     b, q, _ = pred_logits.shape
     t = gt_labels.shape[1]
+    if t > q:
+        raise ValueError(
+            f"padded target count ({t}) must be <= num_queries ({q}): every "
+            "target needs a distinct query; lower MapperConfig.max_instances"
+        )
 
     out_prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
     cost_class = -jnp.take_along_axis(out_prob, gt_labels[:, None, :], axis=2)  # (B, Q, T)

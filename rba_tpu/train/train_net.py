@@ -1,0 +1,149 @@
+"""Training CLI — the TPU-native equivalent of the reference's train_net.py.
+
+Behavioral spec: /root/reference/train_net.py (Trainer :70-349, launch
+:393-403): config-driven training with the mapper selected by
+INPUT.DATASET_MAPPER_NAME, AdamW with per-module hyperparameters, poly LR,
+checkpointing every CHECKPOINT_PERIOD, eval every EVAL_PERIOD.
+
+Usage:
+    python -m rba_tpu.train.train_net --config-file ckpts/swin_b_1dl/config.yaml \
+        --data-root datasets/cityscapes [--coco-root datasets/COCO] \
+        [--max-iter N] [--resume]
+
+Instead of `launch`-forked NCCL processes, the step is one pjit program over
+the full device mesh (rba_tpu/train/train_step.py); the host loop only feeds
+numpy batches and writes checkpoints/logs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import threading
+import time
+from typing import Iterator
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--data-root", required=True, help="cityscapes root (leftImg8bit/gtFine)")
+    p.add_argument("--coco-root", default=None, help="COCO root for OOD mixing")
+    p.add_argument("--output-dir", default="output/")
+    p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--checkpoint-period", type=int, default=5000)
+    p.add_argument("--log-period", type=int, default=20)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mapper", default=None,
+                   choices=[None, "mask_former_semantic", "mask_former_semantic_coco_mix"])
+    return p.parse_args(argv)
+
+
+def build_mapper(cfg, args):
+    from ..data.mappers import (
+        COCOProxyDataset,
+        MapperConfig,
+        SemanticCocoMixDatasetMapper,
+        SemanticDatasetMapper,
+    )
+
+    # each target needs a distinct query — cap the static target padding
+    mcfg = MapperConfig(
+        ood_label=cfg.ood.ood_label,
+        max_instances=min(32, cfg.decoder.num_queries),
+    )
+    mapper_name = args.mapper or (
+        "mask_former_semantic_coco_mix" if cfg.ood.outlier_supervision else "mask_former_semantic"
+    )
+    if mapper_name == "mask_former_semantic_coco_mix":
+        if not args.coco_root:
+            raise ValueError("--coco-root required for the coco_mix mapper")
+        coco = COCOProxyDataset(args.coco_root, proxy_size=300)
+        return SemanticCocoMixDatasetMapper(mcfg, coco, ood_prob=cfg.ood.ood_prob, seed=args.seed)
+    return SemanticDatasetMapper(mcfg, seed=args.seed)
+
+
+def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:
+    """Infinite shuffled iterator over Cityscapes train with a prefetch
+    thread (the reference uses 10 D2 dataloader workers; one producer thread
+    saturates the TPU here since augmentation is cheap relative to steps)."""
+    from ..data.mappers import collate
+    from ..data.ood_datasets import CityscapesSemSeg
+
+    ds = CityscapesSemSeg(args.data_root, split="train")
+    if len(ds) == 0:
+        raise FileNotFoundError(f"no cityscapes train data under {args.data_root}")
+    mapper = build_mapper(cfg, args)
+
+    q: queue.Queue = queue.Queue(maxsize=4)
+
+    def producer():
+        rng = np.random.RandomState(args.seed)
+        while True:
+            idx = rng.permutation(len(ds))
+            for start in range(0, len(idx) - batch_size + 1, batch_size):
+                samples = []
+                for i in idx[start : start + batch_size]:
+                    s = ds[int(i)]
+                    samples.append(mapper(s.image, s.label))
+                q.put(collate(samples))
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        yield q.get()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..config import load_d2_config
+    from ..convert.checkpoint import latest_step, restore_train_state, save_train_state
+    from ..parallel.mesh import make_mesh, shard_batch
+    from .train_step import make_train_state, make_train_step
+
+    cfg = load_d2_config(args.config_file)
+    os.makedirs(args.output_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = args.batch_size or max(cfg.solver.ims_per_batch, n_dev)
+    batch_size = (batch_size // n_dev) * n_dev or n_dev
+    max_iter = args.max_iter or cfg.solver.max_iter
+
+    state = make_train_state(jax.random.PRNGKey(args.seed), cfg)
+    start = 0
+    if args.resume:
+        step0 = latest_step(ckpt_dir)
+        if step0 is not None:
+            state = restore_train_state(ckpt_dir, state, step0)
+            start = step0
+            print(f"resumed from step {step0}")
+
+    step_fn = make_train_step(cfg, mesh)
+    it = data_iterator(cfg, args, batch_size)
+    log_path = os.path.join(args.output_dir, "metrics.jsonl")
+
+    t0 = time.time()
+    for i in range(start, max_iter):
+        batch = shard_batch(mesh, it.__next__())
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % args.log_period == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=i + 1, imgs_per_sec=batch_size * args.log_period / (time.time() - t0))
+            t0 = time.time()
+            print(json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in m.items()}))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(m) + "\n")
+        if (i + 1) % args.checkpoint_period == 0 or (i + 1) == max_iter:
+            save_train_state(ckpt_dir, state, i + 1)
+            print(f"saved checkpoint at step {i + 1}")
+
+
+if __name__ == "__main__":
+    main()

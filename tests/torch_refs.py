@@ -297,3 +297,93 @@ class TorchDeformEncoderLayer(nn.Module):
         src = self.norm1(src + y)
         y = self.linear2(F.relu(self.linear1(src)))
         return self.norm2(src + y)
+
+
+# ---------------------------------------------------------------------------
+# Full-stack mini model (Swin + deformable pixel decoder + masked decoder)
+# used for the end-to-end converter/golden test.
+# ---------------------------------------------------------------------------
+
+class TorchSwinFull(nn.Module):
+    def __init__(self, embed_dim=32, depths=(2, 2), num_heads=(2, 4), window=4,
+                 patch=4, mlp_ratio=4.0):
+        super().__init__()
+        self.patch = patch
+        self.window = window
+        self.depths = depths
+        self.num_heads = num_heads
+        self.proj = nn.Conv2d(3, embed_dim, patch, stride=patch)
+        self.patch_norm = nn.LayerNorm(embed_dim)
+        self.blocks = nn.ModuleList()
+        self.downsamples = nn.ModuleList()
+        dims = [embed_dim * 2**i for i in range(len(depths))]
+        for i, d in enumerate(depths):
+            stage = nn.ModuleList([
+                TorchSwinBlock(dims[i], num_heads[i], window,
+                               0 if j % 2 == 0 else window // 2, mlp_ratio)
+                for j in range(d)
+            ])
+            self.blocks.append(stage)
+            if i < len(depths) - 1:
+                self.downsamples.append(TorchPatchMerging(dims[i]))
+        self.out_norms = nn.ModuleList([nn.LayerNorm(d) for d in dims])
+
+    def forward(self, x):
+        x = self.proj(x)
+        B, C, H, W = x.shape
+        x = x.flatten(2).transpose(1, 2)
+        x = self.patch_norm(x)
+        outs = {}
+        for i, stage in enumerate(self.blocks):
+            hp = (H + self.window - 1) // self.window * self.window
+            wp = (W + self.window - 1) // self.window * self.window
+            am = torch_sw_mask(hp, wp, self.window, self.window // 2)
+            for blk in stage:
+                x = blk(x, H, W, am)
+            out = self.out_norms[i](x)
+            outs[f"res{i+2}"] = out.view(B, H, W, -1).permute(0, 3, 1, 2)
+            if i < len(self.blocks) - 1:
+                x = self.downsamples[i](x, H, W)
+                H, W = (H + 1) // 2, (W + 1) // 2
+        return outs
+
+
+class TorchPixelDecoderMini(nn.Module):
+    """1 transformer level (res3) + 1 FPN level (res2), GN(32)."""
+
+    def __init__(self, in_ch, conv_dim=64, mask_dim=64, enc_layers=2, nheads=4,
+                 npoints=4, ffn=128):
+        super().__init__()
+        self.conv_dim = conv_dim
+        self.input_proj_conv = nn.Conv2d(in_ch["res3"], conv_dim, 1)
+        self.input_proj_gn = nn.GroupNorm(32, conv_dim)
+        self.level_embed = nn.Parameter(torch.randn(1, conv_dim))
+        self.layers = nn.ModuleList([
+            TorchDeformEncoderLayer(conv_dim, ffn, 1, nheads, npoints)
+            for _ in range(enc_layers)
+        ])
+        self.adapter_conv = nn.Conv2d(in_ch["res2"], conv_dim, 1, bias=False)
+        self.adapter_gn = nn.GroupNorm(32, conv_dim)
+        self.out_conv = nn.Conv2d(conv_dim, conv_dim, 3, padding=1, bias=False)
+        self.out_gn = nn.GroupNorm(32, conv_dim)
+        self.mask_features = nn.Conv2d(conv_dim, mask_dim, 1)
+
+    def forward(self, feats):
+        x = feats["res3"].float()
+        y = self.input_proj_gn(self.input_proj_conv(x))
+        B, C, H, W = y.shape
+        pos = torch_sine_pos_embed(H, W, C // 2).repeat(B, 1, 1, 1)
+        src = y.flatten(2).transpose(1, 2)
+        posf = pos.flatten(2).transpose(1, 2) + self.level_embed[0][None, None]
+        ys, xs = torch.meshgrid(
+            torch.linspace(0.5, H - 0.5, H) / H, torch.linspace(0.5, W - 0.5, W) / W,
+            indexing="ij")
+        ref = torch.stack([xs.reshape(-1), ys.reshape(-1)], -1)[None, :, None, :].repeat(B, 1, 1, 1)
+        out = src
+        for l in self.layers:
+            out = l(out, posf, ref, [(H, W)])
+        enc = out.transpose(1, 2).view(B, C, H, W)
+        lat = self.adapter_gn(self.adapter_conv(feats["res2"].float()))
+        up = F.interpolate(enc, size=lat.shape[-2:], mode="bilinear", align_corners=False)
+        fpn = F.relu(self.out_gn(self.out_conv(lat + up)))
+        return self.mask_features(fpn), enc
