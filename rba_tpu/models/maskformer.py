@@ -28,14 +28,12 @@ from .transformer_decoder import decoder_apply, decoder_init
 
 
 def maskformer_init(key, cfg: RbAConfig):
+    from .backbones import build_backbone
+
     k1, k2, k3 = jax.random.split(key, 3)
-    if cfg.backbone_name == "swin":
-        backbone = swin_init(k1, cfg.swin)
-        in_channels = cfg.swin.out_channels
-    else:
-        raise NotImplementedError(cfg.backbone_name)
+    backbone_init, _, in_channels = build_backbone(cfg)
     return {
-        "backbone": backbone,
+        "backbone": backbone_init(k1),
         "sem_seg_head": {
             "pixel_decoder": pixel_decoder_init(k2, cfg.pixel_decoder, in_channels),
             "predictor": decoder_init(
@@ -73,8 +71,11 @@ def maskformer_forward(
 ) -> Dict:
     """Raw network outputs: pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4),
     aux_outputs.  Shared by training and inference."""
+    from .backbones import build_backbone
+
     dtype = _compute_dtype(cfg)
-    features = swin_apply(params["backbone"], cfg.swin, images, compute_dtype=dtype)
+    _, backbone_apply, _ = build_backbone(cfg)
+    features = backbone_apply(params["backbone"], images, dtype)
     head = params["sem_seg_head"]
     mask_features, _, ms_feats = pixel_decoder_apply(
         head["pixel_decoder"], cfg.pixel_decoder, features
