@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rba_tpu.config import tiny_test_config
+from rba_tpu.models.maskformer import maskformer_init
+
+
+def test_parameter_count():
+    from rba_tpu.tools.analyze_model import parameter_count, structure_string
+
+    cfg = tiny_test_config()
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    counts = parameter_count(params)
+    total = counts[""]
+    assert total == sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    assert counts["backbone"] + counts["sem_seg_head"] == total
+    s = structure_string(params, depth=2)
+    assert "backbone" in s
+
+
+def test_flop_count():
+    from rba_tpu.tools.analyze_model import flop_count
+
+    def f(x):
+        return x @ x
+
+    flops = flop_count(f, jnp.zeros((64, 64)))
+    # 64³ × 2 = 524288 FLOPs (XLA counts fused multiply-add as 2)
+    assert flops == pytest.approx(2 * 64**3, rel=0.1)
+
+
+def test_vis_cluster_and_project(rng):
+    from rba_tpu.tools.vis_utils import cluster, kmeans_numpy, project_2d
+
+    x = np.concatenate([rng.randn(30, 8) + 5, rng.randn(30, 8) - 5]).astype(np.float32)
+    labels = cluster(x, "kmeans", k=2)
+    # two well-separated blobs must split cleanly
+    assert len(set(labels[:30])) == 1 and len(set(labels[30:])) == 1
+    assert labels[0] != labels[-1]
+
+    coords = project_2d(x, "pca")
+    assert coords.shape == (60, 2)
+
+    a, c = kmeans_numpy(x, 2)
+    assert c.shape == (2, 8)
+
+
+def test_pq_semseg_tool(rng):
+    from rba_tpu.tools.evaluate_pq_semseg import evaluate, semseg_to_panoptic
+
+    gt = np.zeros((20, 20), np.int32)
+    gt[:, 10:] = 3
+    gt[:2, :] = 255  # ignore
+    pan, segs = semseg_to_panoptic(gt)
+    assert {s["category_id"] for s in segs} == {0, 3}
+
+    res = evaluate([gt.copy()], [gt])
+    assert res["All"]["pq"] == 1.0
+
+    pred = gt.copy()
+    pred[:, :5] = 3  # corrupt
+    res2 = evaluate([pred], [gt])
+    assert res2["All"]["pq"] < 1.0
+
+
+def test_timm_swin_converter(rng):
+    import torch
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.models.swin import swin_apply
+    from rba_tpu.tools.convert_checkpoint import convert_timm_swin
+
+    cfg = tiny_test_config()
+    s = cfg.swin
+    sd = {}
+
+    def lin(prefix, din, dout, bias=True):
+        sd[prefix + ".weight"] = rng.randn(dout, din).astype(np.float32) * 0.02
+        if bias:
+            sd[prefix + ".bias"] = np.zeros(dout, np.float32)
+
+    sd["patch_embed.proj.weight"] = rng.randn(s.embed_dim, 3, 4, 4).astype(np.float32)
+    sd["patch_embed.proj.bias"] = np.zeros(s.embed_dim, np.float32)
+    sd["patch_embed.norm.weight"] = np.ones(s.embed_dim, np.float32)
+    sd["patch_embed.norm.bias"] = np.zeros(s.embed_dim, np.float32)
+    for i in range(s.num_layers):
+        dim = s.stage_dim(i)
+        for j in range(s.depths[i]):
+            pre = f"layers.{i}.blocks.{j}"
+            for n in ("norm1", "norm2"):
+                sd[pre + f".{n}.weight"] = np.ones(dim, np.float32)
+                sd[pre + f".{n}.bias"] = np.zeros(dim, np.float32)
+            sd[pre + ".attn.relative_position_bias_table"] = rng.randn(
+                (2 * s.window_size - 1) ** 2, s.num_heads[i]
+            ).astype(np.float32)
+            sd[pre + ".attn.relative_position_index"] = np.zeros(
+                (s.window_size**2, s.window_size**2), np.int64
+            )
+            lin(pre + ".attn.qkv", dim, 3 * dim)
+            lin(pre + ".attn.proj", dim, dim)
+            lin(pre + ".mlp.fc1", dim, int(dim * s.mlp_ratio))
+            lin(pre + ".mlp.fc2", int(dim * s.mlp_ratio), dim)
+        if i < s.num_layers - 1:
+            sd[f"layers.{i}.downsample.norm.weight"] = np.ones(4 * dim, np.float32)
+            sd[f"layers.{i}.downsample.norm.bias"] = np.zeros(4 * dim, np.float32)
+            lin(f"layers.{i}.downsample.reduction", 4 * dim, 2 * dim, bias=False)
+    sd["head.weight"] = rng.randn(1000, 64).astype(np.float32)  # dropped
+    sd["norm.weight"] = np.ones(64, np.float32)  # dropped
+
+    params = jax.tree.map(jnp.asarray, convert_timm_swin(sd, cfg))
+    outs = swin_apply(params, cfg.swin, jnp.zeros((1, 64, 64, 3)), compute_dtype=jnp.float32)
+    assert set(outs) == set(cfg.swin.out_features)
