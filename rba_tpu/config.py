@@ -206,6 +206,10 @@ class RbAConfig:
     # compute dtype for backbone/decoder matmuls; score path stays fp32
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # pixel-decoder convs/FFNs: "float32" mirrors the reference's fp32-pinned
+    # pixel decoder (msdeformattn.py:323-329) for strict score parity;
+    # "bfloat16" is the fast serving mode (norms/softmax/sampling stay fp32)
+    pixel_decoder_dtype: str = "float32"
 
     @property
     def sem_seg_head_ignore_value(self) -> int:

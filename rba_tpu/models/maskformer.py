@@ -77,8 +77,9 @@ def maskformer_forward(
     _, backbone_apply, _ = build_backbone(cfg)
     features = backbone_apply(params["backbone"], images, dtype)
     head = params["sem_seg_head"]
+    pd_dtype = jnp.bfloat16 if cfg.pixel_decoder_dtype == "bfloat16" else jnp.float32
     mask_features, _, ms_feats = pixel_decoder_apply(
-        head["pixel_decoder"], cfg.pixel_decoder, features
+        head["pixel_decoder"], cfg.pixel_decoder, features, dtype=pd_dtype
     )
     return decoder_apply(
         head["predictor"],

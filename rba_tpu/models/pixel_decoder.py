@@ -214,30 +214,34 @@ def pixel_decoder_apply(
     params,
     cfg: PixelDecoderConfig,
     features: Dict[str, jax.Array],  # NHWC feature maps from the backbone
+    dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array, List[jax.Array]]:
     """Returns (mask_features, transformer_encoder_feature, multi_scale_features),
-    all NHWC.  Mirrors forward_features (msdeformattn.py:323-367)."""
-    # fp32 — the reference runs this module out of AMP
+    all NHWC.  Mirrors forward_features (msdeformattn.py:323-367).
+
+    ``dtype`` governs the conv/FFN matmuls; fp32 (default) matches the
+    reference's fp32-pinned pixel decoder, bf16 is the fast serving mode.
+    Norms, softmaxes, and the deformable sampling always run fp32."""
     tf_feats_rev = list(cfg.transformer_in_features)[::-1]
 
     srcs = []
     poss = []
     spatial_shapes: List[Tuple[int, int]] = []
     for i, f in enumerate(tf_feats_rev):
-        x = features[f].astype(jnp.float32)
+        x = features[f].astype(dtype)
         p = params["input_proj"][i]
         y = conv2d(p["conv"], x)
         y = group_norm(p["gn"], y, num_groups=32)
         srcs.append(y)
         n, h, w, c = y.shape
-        poss.append(sine_pos_embed(h, w, c))
+        poss.append(sine_pos_embed(h, w, c, dtype=dtype))
         spatial_shapes.append((h, w))
 
     # flatten + add level embeds
     n = srcs[0].shape[0]
     c = srcs[0].shape[-1]
     src_flat = jnp.concatenate([s.reshape(n, -1, c) for s in srcs], axis=1)
-    lvl_embed = params["transformer"]["level_embed"].astype(jnp.float32)
+    lvl_embed = params["transformer"]["level_embed"].astype(dtype)
     pos_flat = jnp.concatenate(
         [
             (poss[i] + lvl_embed[i][None, None, :]).reshape(1, -1, c)
@@ -268,7 +272,7 @@ def pixel_decoder_apply(
     num_fpn = len(params["fpn"])
     fpn_feats = list(cfg.in_features)[:num_fpn]  # bottom-up, e.g. [res2, res3, res4]
     for f, p in zip(fpn_feats[::-1], params["fpn"][::-1]):  # top-down
-        x = features[f].astype(jnp.float32)
+        x = features[f].astype(dtype)
         lat = group_norm(p["lateral"]["gn"], conv2d(p["lateral"]["conv"], x), num_groups=32)
         up = resize_bilinear_nhwc(out[-1], (lat.shape[1], lat.shape[2]))
         z = lat + up

@@ -76,11 +76,71 @@ def _bilinear_gather_level(
     return out
 
 
+def _bilinear_gather_level_patch(
+    value: jax.Array,  # (N, H, W, M, D)
+    loc: jax.Array,  # (N, Lq, M, P, 2)
+) -> jax.Array:  # (N, Lq, M, P, D)
+    """Patch-gather formulation: the 4 bilinear corners of each sample lie in
+    one 2×2 patch, so a single ``lax.gather`` with slice_sizes (2, 2, D) on a
+    zero-padded map fetches all of them — 4× fewer gathers and 8× larger
+    contiguous payloads than per-corner ``take_along_axis`` (TPU gathers are
+    row-granular).  Out-of-range corners get zero weight, so clamped starts
+    never contaminate the result."""
+    n, h, w, m, d = value.shape
+    _, lq, _, p, _ = loc.shape
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # zero-pad 1px so patch [y0+1 : y0+3) covers corners y0, y0+1
+    vp = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    vp = jnp.transpose(vp, (0, 3, 1, 2, 4)).reshape(n * m, h + 2, w + 2, d)
+
+    cy = jnp.clip(y0i + 1, 0, h)  # start of a valid 2-slice in [0, h]
+    cx = jnp.clip(x0i + 1, 0, w)
+    starts = jnp.stack([cy, cx], axis=-1)  # (N, Lq, M, P, 2)
+    starts = jnp.transpose(starts, (0, 2, 1, 3, 4)).reshape(n * m, lq * p, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def g(op, st):
+        return jax.lax.gather(
+            op, st, dnums, slice_sizes=(2, 2, d), mode=jax.lax.GatherScatterMode.CLIP
+        )
+
+    patches = jax.vmap(g)(vp, starts)  # (N*M, Lq*P, 2, 2, D)
+    patches = patches.reshape(n, m, lq, p, 2, 2, d).transpose(0, 2, 1, 3, 4, 5, 6)
+
+    def valid(yi, xi):
+        return ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).astype(jnp.float32)[..., None]
+
+    w00 = (1 - tx) * (1 - ty) * valid(y0i, x0i)
+    w01 = tx * (1 - ty) * valid(y0i, x0i + 1)
+    w10 = (1 - tx) * ty * valid(y0i + 1, x0i)
+    w11 = tx * ty * valid(y0i + 1, x0i + 1)
+    return (
+        patches[..., 0, 0, :] * w00
+        + patches[..., 0, 1, :] * w01
+        + patches[..., 1, 0, :] * w10
+        + patches[..., 1, 1, :] * w11
+    )
+
+
 def ms_deform_attn_core(
     value: jax.Array,  # (N, S, M, D) flattened multi-level values
     spatial_shapes: Sequence[Tuple[int, int]],  # static python list of (H, W)
     sampling_locations: jax.Array,  # (N, Lq, M, L, P, 2) in [0, 1]
     attention_weights: jax.Array,  # (N, Lq, M, L, P) softmaxed over L*P
+    use_patch_gather: bool = True,
 ) -> jax.Array:  # (N, Lq, M*D)
     n, s, m, d = value.shape
     _, lq, _, nlevels, p, _ = sampling_locations.shape
@@ -96,10 +156,11 @@ def ms_deform_attn_core(
         offsets.append(offsets[-1] + h * w)
     assert offsets[-1] == s
 
+    gather_fn = _bilinear_gather_level_patch if use_patch_gather else _bilinear_gather_level
     out = jnp.zeros((n, lq, m, d), jnp.float32)
     for lid, (h, w) in enumerate(spatial_shapes):
         v = value[:, offsets[lid] : offsets[lid + 1]].reshape(n, h, w, m, d)
-        sampled = _bilinear_gather_level(v, sampling_locations[:, :, :, lid])  # (N,Lq,M,P,D)
+        sampled = gather_fn(v, sampling_locations[:, :, :, lid])  # (N,Lq,M,P,D)
         out = out + jnp.einsum(
             "nqmpd,nqmp->nqmd", sampled, attention_weights[:, :, :, lid],
             precision=jax.lax.Precision.HIGHEST,
