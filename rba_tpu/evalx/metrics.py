@@ -89,7 +89,16 @@ def metrics_from_histograms(pos_hist: np.ndarray, neg_hist: np.ndarray) -> Dict[
 def exact_ood_metrics(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
     """Exact (sklearn-equivalent) metrics from raw flattened pixels — the
     reference's computation (support.py:270-303), used for parity tests and
-    small datasets."""
+    small datasets.  Uses the native radix-sort engine
+    (rba_tpu/native/metrics.cc) when built; numpy otherwise."""
+    try:
+        from ..native.bindings import exact_ood_metrics_native
+
+        native = exact_ood_metrics_native(scores, labels)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     mask = labels != 255
     s = scores[mask].astype(np.float64)
     y = (labels[mask] == 1).astype(np.int64)
