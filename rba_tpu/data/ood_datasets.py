@@ -365,3 +365,105 @@ def get_datasets(datasets_folder: str) -> dict:
         if len(ds) > 0:  # os.walk-based readers yield empty sets when absent
             out[name] = ds
     return out
+
+
+class SmallObstacles(OODDataset):
+    """Small Obstacles dataset (reference datasets/small_obstacles.py):
+    <root>/<mode>/<sequence>/{image,labels}/*.png with RGB color labels —
+    road (128,0,0) → 0, void (0,0,0) → 255, everything else → anomaly 1."""
+
+    name = "small_obstacles"
+
+    def __init__(self, root: str, mode: str = "val"):
+        super().__init__()
+        base = os.path.join(root, mode)
+        for seq in sorted(os.listdir(base)):
+            labels_path = os.path.join(base, seq, "labels")
+            images_path = os.path.join(base, seq, "image")
+            for n in sorted(os.listdir(labels_path)):
+                self.images.append(os.path.join(images_path, n))
+                self.labels.append(os.path.join(labels_path, n))
+
+    def __getitem__(self, i: int) -> Sample:
+        image = _read_image(self.images[i])
+        rgb = np.asarray(Image.open(self.labels[i]).convert("RGB"))
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        label = np.ones(rgb.shape[:2], np.int32)
+        label[(r == 0) & (g == 0) & (b == 0)] = 255
+        label[(r == 128) & (g == 0) & (b == 0)] = 0
+        return Sample(image, label, os.path.basename(self.images[i]))
+
+
+class MapillarySemSeg(OODDataset):
+    """Mapillary Vistas semantic val (reference datasets/mapillary.py):
+    <root>/<training|validation>/{images,labels}; labels remapped to the
+    Cityscapes taxonomy via the 66→19 LUT for the map_coco checkpoints."""
+
+    name = "mapillary"
+
+    def __init__(self, root: str, mode: str = "val", cityscapes_taxonomy: bool = True):
+        super().__init__()
+        folder = {"train": "training", "val": "validation"}[mode]
+        images_path = os.path.join(root, folder, "images")
+        labels_path = os.path.join(root, folder, "labels")
+        for img in sorted(os.listdir(images_path)):
+            self.images.append(os.path.join(images_path, img))
+            self.labels.append(os.path.join(labels_path, img[:-3] + "png"))
+        self._lut = None
+        if cityscapes_taxonomy:
+            from .taxonomies import mapillary_to_cityscapes_lut
+
+            self._lut = mapillary_to_cityscapes_lut()
+
+    def _remap(self, label):
+        if self._lut is None:
+            return label
+        return self._lut[np.clip(label, 0, 255)]
+
+
+class CityscapesC(CityscapesSemSeg):
+    """Corrupted Cityscapes (reference datasets/cityscapes_c.py): images live
+    under leftImg8bit/<split>/<city>/<distortion>/<severity>/, labels are the
+    clean gtFine maps."""
+
+    name = "cityscapes_c"
+
+    def __init__(self, root: str, split: str = "val", distortion: str = "gaussian_noise",
+                 severity: str = "1"):
+        OODDataset.__init__(self)
+        img_root = os.path.join(root, "leftImg8bit", split)
+        gt_root = os.path.join(root, "gtFine", split)
+        self._from_train_ids = []
+        for city in sorted(os.listdir(img_root)):
+            img_dir = os.path.join(img_root, city, distortion, str(severity))
+            if not os.path.isdir(img_dir):
+                continue
+            for f in sorted(os.listdir(img_dir)):
+                base = f[: -len("_leftImg8bit.png")]
+                self.images.append(os.path.join(img_dir, f))
+                tid = os.path.join(gt_root, city, base + "_gtFine_labelTrainIds.png")
+                lid = os.path.join(gt_root, city, base + "_gtFine_labelIds.png")
+                use_tid = os.path.exists(tid)
+                self.labels.append(tid if use_tid else lid)
+                self._from_train_ids.append(use_tid)
+
+
+class CityscapesIncremental(CityscapesSemSeg):
+    """Incremental-class Cityscapes (reference datasets/
+    cityscapes_incremental.py): the trainIds in ``holdout_classes`` are
+    relabeled as anomaly 1, everything else inlier 0 — evaluating OOD
+    detection on held-out known classes."""
+
+    name = "cityscapes_incremental"
+
+    def __init__(self, root: str, split: str = "val", holdout_classes=(13, 14, 15)):
+        super().__init__(root, split)
+        self.holdout = set(int(c) for c in holdout_classes)
+
+    def __getitem__(self, i: int) -> Sample:
+        s = super().__getitem__(i)
+        label = np.zeros_like(s.label)
+        label[s.label == 255] = 255
+        for c in self.holdout:
+            label[s.label == c] = 1
+        return Sample(s.image, label, s.name)

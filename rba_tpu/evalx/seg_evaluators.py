@@ -1,0 +1,215 @@
+"""Semantic / panoptic / instance evaluation harnesses.
+
+Behavioral spec:
+  * SemSegEvaluator (D2) as used by the reference for Cityscapes mIoU
+    (/root/reference/train_net.py:98-102) — aggregate confusion matrix over
+    the dataset, mIoU/fwIoU/pACC; distributed=True becomes a psum-able
+    confusion-matrix reduction.
+  * SemSegOpenEvaluator / COCOPanopticOpenEvaluator
+    (/root/reference/mask2former/evaluation/coco_panoptic_open_evaluator.py:
+    42-483) — panoptic inference (optionally the open-world RbA branch) fed
+    into PQ with known/unknown splits (rba_tpu/evalx/panoptic.py).
+  * InstanceEvaluator (/root/reference/mask2former/evaluation/
+    instance_evaluation.py:30-107) — COCO-style mask AP tolerant of
+    non-contiguous ids; implemented as a numpy mask-AP over IoU thresholds.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RbAConfig
+from ..models.inference import CITYSCAPES_THING_IDS, instance_inference, panoptic_inference
+from ..models.maskformer import maskformer_infer, rba_score
+from .panoptic import pq_compute
+
+
+class SemSegEvaluator:
+    """Aggregate-confusion-matrix mIoU (plus per-class IoU, pixel acc)."""
+
+    def __init__(self, cfg: RbAConfig, params):
+        self.cfg = cfg
+        self.params = params
+        k = cfg.num_classes
+        self.conf = np.zeros((k, k), np.int64)
+
+        @functools.lru_cache(maxsize=16)
+        def for_shape(shape):
+            def fn(params, images, labels):
+                sem = maskformer_infer(params, cfg, images)["sem_seg"]
+                pred = jnp.argmax(sem, axis=1)
+                valid = labels != 255
+                idx = jnp.where(valid, labels * k + pred, k * k)
+                return jnp.bincount(idx.reshape(-1), length=k * k + 1)[: k * k]
+
+            return jax.jit(fn)
+
+        self._fn = for_shape
+
+    def process(self, image: np.ndarray, label: np.ndarray):
+        counts = self._fn(tuple(image.shape))(
+            self.params,
+            jnp.asarray(image[None], jnp.float32),
+            jnp.asarray(label[None].astype(np.int32)),
+        )
+        self.conf += np.asarray(counts, np.int64).reshape(self.cfg.num_classes, -1)
+
+    def evaluate(self) -> Dict[str, float]:
+        conf = self.conf.astype(np.float64)
+        inter = np.diag(conf)
+        union = conf.sum(0) + conf.sum(1) - inter
+        iou = inter / np.maximum(union, 1)
+        present = union > 0
+        freq = conf.sum(1) / max(conf.sum(), 1)
+        return {
+            "mIoU": float(iou[present].mean()) if present.any() else float("nan"),
+            "fwIoU": float((iou * freq).sum()),
+            "pACC": float(inter.sum() / max(conf.sum(), 1)),
+            "IoU_per_class": iou.tolist(),
+        }
+
+
+class OpenPanopticEvaluator:
+    """Run (open-)panoptic inference over a dataset with panoptic GT and
+    aggregate PQ, including the Unknown (category 255) split."""
+
+    def __init__(self, cfg: RbAConfig, params, thing_ids: Sequence[int] = CITYSCAPES_THING_IDS,
+                 open_panoptic: Optional[bool] = None, ood_threshold: float = -0.1,
+                 pixel_min: int = 300):
+        self.cfg = cfg
+        self.params = params
+        self.thing_ids = tuple(thing_ids)
+        self.open_panoptic = cfg.test.panoptic_on if open_panoptic is None else open_panoptic
+        self.ood_threshold = ood_threshold
+        self.pixel_min = pixel_min
+        self.pairs: List = []
+
+        @functools.lru_cache(maxsize=16)
+        def for_shape(shape):
+            def fn(params, images):
+                out = maskformer_infer(params, cfg, images)
+                return out["sem_seg"]
+
+            return jax.jit(fn)
+
+        self._sem = for_shape
+
+    def _raw_outputs(self, image: np.ndarray):
+        from ..models.maskformer import maskformer_forward, preprocess
+        from ..ops.resize import resize_bilinear
+
+        x = preprocess(self.cfg, jnp.asarray(image[None], jnp.float32))
+        outputs = maskformer_forward(self.params, self.cfg, x)
+        mask_pred = resize_bilinear(
+            outputs["pred_masks"], (x.shape[1], x.shape[2]), align_corners=False
+        )[:, :, : image.shape[0], : image.shape[1]]
+        return np.asarray(outputs["pred_logits"][0]), np.asarray(mask_pred[0])
+
+    def process(self, image: np.ndarray, pan_gt: np.ndarray, segments_gt: List[Dict]):
+        mask_cls, mask_pred = self._raw_outputs(image)
+        pan_pred, segments_pred = panoptic_inference(
+            self.cfg, mask_cls, mask_pred, thing_ids=self.thing_ids,
+            open_panoptic=self.open_panoptic, ood_threshold=self.ood_threshold,
+            pixel_min=self.pixel_min,
+        )
+        self.pairs.append((pan_pred, segments_pred, pan_gt, segments_gt))
+
+    def evaluate(self) -> Dict:
+        isthing = {c: True for c in self.thing_ids}
+        return pq_compute(self.pairs, isthing=isthing)
+
+
+def _mask_iou_matrix(pred_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
+    """(P, H, W) × (G, H, W) binary masks → (P, G) IoU."""
+    p = pred_masks.reshape(len(pred_masks), -1).astype(bool)
+    g = gt_masks.reshape(len(gt_masks), -1).astype(bool)
+    inter = p.astype(np.float64) @ g.T.astype(np.float64)
+    union = p.sum(1)[:, None] + g.sum(1)[None, :] - inter
+    return inter / np.maximum(union, 1)
+
+
+def mask_average_precision(
+    predictions: List[Dict[str, np.ndarray]],  # per image: pred_masks, scores, pred_classes
+    ground_truths: List[Dict[str, np.ndarray]],  # per image: masks, classes
+    num_classes: int,
+    iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+) -> Dict[str, float]:
+    """COCO-style mask AP (mean over IoU 0.5:0.95), numpy implementation."""
+    ap_per_thr = []
+    for thr in iou_thresholds:
+        aps = []
+        for cls in range(num_classes):
+            records = []  # (score, is_tp)
+            n_gt = 0
+            for pred, gt in zip(predictions, ground_truths):
+                gsel = gt["classes"] == cls
+                gmasks = gt["masks"][gsel]
+                n_gt += len(gmasks)
+                psel = pred["pred_classes"] == cls
+                pmasks = pred["pred_masks"][psel]
+                scores = pred["scores"][psel]
+                order = np.argsort(-scores)
+                matched = np.zeros(len(gmasks), bool)
+                iou = _mask_iou_matrix(pmasks, gmasks) if len(pmasks) and len(gmasks) else None
+                for pi in order:
+                    tp = False
+                    if iou is not None:
+                        cand = np.where(~matched & (iou[pi] >= thr))[0]
+                        if len(cand):
+                            best = cand[np.argmax(iou[pi][cand])]
+                            matched[best] = True
+                            tp = True
+                    records.append((scores[pi], tp))
+                del iou
+            if n_gt == 0:
+                continue
+            if not records:
+                aps.append(0.0)
+                continue
+            records.sort(key=lambda r: -r[0])
+            tps = np.cumsum([r[1] for r in records])
+            fps = np.cumsum([not r[1] for r in records])
+            recall = tps / n_gt
+            precision = tps / np.maximum(tps + fps, 1)
+            # 101-point interpolated AP (COCO)
+            rc = np.linspace(0, 1, 101)
+            prec_interp = np.zeros_like(rc)
+            # precision envelope
+            for i in range(len(precision) - 2, -1, -1):
+                precision[i] = max(precision[i], precision[i + 1])
+            idx = np.searchsorted(recall, rc, side="left")
+            valid = idx < len(precision)
+            prec_interp[valid] = precision[idx[valid]]
+            aps.append(float(prec_interp.mean()))
+        ap_per_thr.append(float(np.mean(aps)) if aps else float("nan"))
+    ap50 = ap_per_thr[0]
+    return {
+        "AP": float(np.nanmean(ap_per_thr)),
+        "AP50": ap50,
+        "AP75": ap_per_thr[5] if len(ap_per_thr) > 5 else float("nan"),
+    }
+
+
+class InstanceEvaluator:
+    """Mask-AP evaluator over a dataset (reference instance_evaluation.py)."""
+
+    def __init__(self, cfg: RbAConfig, params, topk: int = 100):
+        self.cfg = cfg
+        self.params = params
+        self.topk = topk
+        self.preds: List[Dict] = []
+        self.gts: List[Dict] = []
+
+    def process(self, image: np.ndarray, gt_masks: np.ndarray, gt_classes: np.ndarray):
+        ev = OpenPanopticEvaluator(self.cfg, self.params)
+        mask_cls, mask_pred = ev._raw_outputs(image)
+        out = instance_inference(self.cfg, mask_cls, mask_pred, topk=self.topk)
+        self.preds.append(out)
+        self.gts.append({"masks": gt_masks, "classes": gt_classes})
+
+    def evaluate(self) -> Dict[str, float]:
+        return mask_average_precision(self.preds, self.gts, self.cfg.num_classes)
