@@ -141,6 +141,7 @@ class OODConfig:
     outlier_lower_threshold: float = 5.0
     outlier_weight: float = 1.0
     smoothness_loss: bool = False
+    smoothness_score: str = "none"  # none | nls | energy | softmax_entropy
     smoothness_weight: float = 3.0e-6
     sparsity_loss: bool = False
     sparsity_weight: float = 5.0e-4
@@ -332,6 +333,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         outlier_lower_threshold=mf.get("OUTLIER_LOWER_THRESHOLD", 5.0),
         outlier_weight=mf.get("OUTLIER_WEIGHT", 1.0),
         smoothness_loss=mf.get("SMOOTHNESS_LOSS", False),
+        smoothness_score=mf.get("SMOOTHNESS_SCORE", "none"),
         smoothness_weight=mf.get("SMOOTHNESS_WEIGHT", 3.0e-6),
         sparsity_loss=mf.get("SPARSITY_LOSS", False),
         sparsity_weight=mf.get("SPARSITY_WEIGHT", 5.0e-4),

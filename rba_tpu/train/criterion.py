@@ -189,17 +189,17 @@ def sparsity_loss(cfg: RbAConfig, pred_logits, pred_masks, outlier_masks):
 
 
 def _gaussian_blur_2d(x, ksize=7, sigma=1.0):
-    """(B, H, W) separable Gaussian blur, replicate padding (matches
-    torchvision.transforms.GaussianBlur)."""
+    """(B, H, W) separable Gaussian blur with reflect padding (matching
+    torchvision.transforms.GaussianBlur as used in criterion.py:350-353)."""
     import numpy as np
 
     half = ksize // 2
     g = np.exp(-0.5 * (np.arange(-half, half + 1) / sigma) ** 2)
     g = (g / g.sum()).astype(np.float32)
     kernel = jnp.asarray(g)
-    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
+    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="reflect")
     x = sum(xp[:, i : i + x.shape[1], :] * kernel[i] for i in range(ksize))
-    xp = jnp.pad(x, ((0, 0), (0, 0), (half, half)), mode="edge")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (half, half)), mode="reflect")
     return sum(xp[:, :, i : i + x.shape[2]] * kernel[i] for i in range(ksize))
 
 
