@@ -162,13 +162,14 @@ def _window_attention(
     scale = qk_scale or hd**-0.5
 
     qkv = linear(attn_params["qkv"], x)  # (B, nHw, nWw, N, 3C)
-    qkv = qkv.reshape(b, nhw * nww, n, 3, num_heads, hd)
-    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]  # (B, nW, N, nh, hd)
 
     bias_table = attn_params["relative_position_bias_table"].astype(jnp.float32)
     idx = relative_position_index(ws)
     rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, num_heads)
     rel_bias = jnp.transpose(rel_bias, (2, 0, 1))  # (nh, N, N)
+
+    qkv = qkv.reshape(b, nhw * nww, n, 3, num_heads, hd)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]  # (B, nW, N, nh, hd)
 
     if _use_fused_attention():
         # fused Pallas path: scores never materialize in HBM
@@ -178,8 +179,7 @@ def _window_attention(
         kh = jnp.transpose(k, (0, 1, 3, 2, 4))
         vh = jnp.transpose(v, (0, 1, 3, 2, 4))
         out = window_attention_fused(qh, kh, vh, rel_bias, mask, scale)
-        out = jnp.transpose(out, (0, 1, 3, 2, 4))  # (B, nW, N, nh, hd)
-        out = out.reshape(b, nhw, nww, n, c)
+        out = jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(b, nhw, nww, n, c)
         return linear(attn_params["proj"], out)
 
     # XLA reference path

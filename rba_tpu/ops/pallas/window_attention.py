@@ -85,3 +85,97 @@ def window_attention_fused(
         interpret=interpret,
     )(qf, kf, vf, rel_bias.astype(jnp.float32), mask_arr)
     return out.reshape(b, nw, nh, n, hd)
+
+
+# ---------------------------------------------------------------------------
+# v2: consumes the fused qkv tensor in its natural post-linear layout
+# (B·nW, N, 3C); groups G windows per grid step; head split + transpose
+# happen in VMEM.  Avoids the two HBM-level (N, nh) transposes of v1.
+#
+# STATUS: interpret-mode correct, but current Mosaic rejects the in-kernel
+# lane split (G, N, 3C) -> (..., nh, hd=32) ("unsupported shape cast") —
+# sub-128 lane retiling is not supported, so this variant cannot compile on
+# hardware until heads are pre-split (which is exactly v1).  Kept as the
+# reference for when Mosaic gains small-lane reshapes.
+# ---------------------------------------------------------------------------
+
+def _kernel_v2(qkv_ref, bias_ref, mask_ref, out_ref, *, scale, nh):
+    g, n, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // nh
+    qkv = qkv_ref[...].reshape(g, n, 3, nh, hd)
+    # (G, N, nh, hd) -> (G·nh, N, hd)  (Mosaic matmul: max one batch dim)
+    q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3)).reshape(g * nh, n, hd).astype(jnp.float32)
+    k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3)).reshape(g * nh, n, hd).astype(jnp.float32)
+    v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3)).reshape(g * nh, n, hd)
+
+    scores = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(g, nh, n, n)
+    scores = scores + bias_ref[...][None]
+    scores = scores + mask_ref[...][:, None]
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype).reshape(g * nh, n, n)
+    out = jax.lax.dot_general(
+        probs, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G·nh, N, hd)
+    out = jnp.transpose(out.reshape(g, nh, n, hd), (0, 2, 1, 3)).reshape(g, n, c)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def window_attention_fused_v2(
+    qkv: jax.Array,  # (B, nW, N, 3C) fused qkv, natural post-linear layout
+    rel_bias: jax.Array,  # (nh, N, N) fp32
+    mask,  # (nW, N, N) additive or None
+    nh: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:  # (B, nW, N, C)
+    b, nw, n, c3 = qkv.shape
+    c = c3 // 3
+    qkv_f = qkv.reshape(b * nw, n, c3)
+
+    if mask is None:
+        mask_arr = jnp.zeros((1, n, n), jnp.float32)
+        nmask = 1
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32)
+        nmask = mask_arr.shape[0]
+
+    # group size: largest divisor of nW within the VMEM budget for the fp32
+    # score tensor (+ qkv/out streams).  G | nW keeps groups phase-aligned
+    # with the per-window shift masks.
+    budget = 9 * 1024 * 1024
+    g_max = max(1, budget // (nh * n * n * 4 + 6 * n * c3))
+    g = 1
+    for cand in range(1, min(g_max, nw) + 1):
+        if nw % cand == 0:
+            g = cand
+    grid = ((b * nw) // g,)
+
+    if nmask == 1:
+        mask_in = jnp.broadcast_to(mask_arr, (g, n, n))
+        mask_spec = pl.BlockSpec((g, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        assert nmask == nw, "mask count must equal windows per image"
+        mask_in = mask_arr
+        mask_spec = pl.BlockSpec(
+            (g, n, n), lambda i: (i % (nw // g), 0, 0), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, scale=scale, nh=nh),
+        out_shape=jax.ShapeDtypeStruct((b * nw, n, c), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv_f, rel_bias.astype(jnp.float32), mask_in)
+    return out.reshape(b, nw, n, c)
