@@ -266,3 +266,145 @@ class SemanticCocoMixDatasetMapper(SemanticDatasetMapper):
 
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+# ---------------------------------------------------------------------------
+# panoptic / instance / LSJ mappers
+# ---------------------------------------------------------------------------
+
+def rgb2id(color: np.ndarray) -> np.ndarray:
+    """COCO panoptic encoding: id = R + 256·G + 256²·B."""
+    color = color.astype(np.int64)
+    return color[:, :, 0] + 256 * color[:, :, 1] + 256 * 256 * color[:, :, 2]
+
+
+class PanopticDatasetMapper(SemanticDatasetMapper):
+    """Panoptic training targets (reference mask_former_panoptic_dataset_
+    mapper.py): each segment (thing or stuff) becomes one (class, mask) pair.
+    Input: image + panoptic id map + segments_info [{id, category_id}]."""
+
+    def __call__(self, image: np.ndarray, pan_seg: np.ndarray,
+                 segments_info: List[Dict]) -> Dict[str, np.ndarray]:
+        c = self.cfg
+        # resize of id maps must preserve exact (possibly >255) ids —
+        # use PIL mode "I" nearest instead of the uint8 semantic path
+        t = self.rng.choice(list(c.min_sizes))
+        h, w = image.shape[:2]
+        scale = t / min(h, w)
+        if max(h, w) * scale > c.max_size:
+            scale = c.max_size / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        image = np.asarray(Image.fromarray(image).resize((nw, nh), Image.BILINEAR))
+        pan = np.asarray(
+            Image.fromarray(pan_seg.astype(np.int32), mode="I").resize((nw, nh), Image.NEAREST)
+        )
+        image, pan = random_crop(self.rng, image, pan, c.crop_hw, 1.0, 0)
+        if c.flip and self.rng.random() < 0.5:
+            image = image[:, ::-1]
+            pan = pan[:, ::-1]
+        image = np.ascontiguousarray(image)
+        pan = np.ascontiguousarray(pan)
+        # pad
+        th, tw = c.crop_hw
+        ph, pw = max(th - pan.shape[0], 0), max(tw - pan.shape[1], 0)
+        if ph or pw:
+            image = np.pad(image, ((0, ph), (0, pw), (0, 0)), constant_values=128)
+            pan = np.pad(pan, ((0, ph), (0, pw)), constant_values=0)
+
+        t_max = c.max_instances
+        gt_labels = np.zeros((t_max,), np.int32)
+        gt_masks = np.zeros((t_max,) + pan.shape, np.float32)
+        gt_valid = np.zeros((t_max,), np.float32)
+        i = 0
+        for seg in segments_info:
+            if seg.get("iscrowd", 0):
+                continue
+            m = pan == seg["id"]
+            if not m.any() or i >= t_max:
+                continue
+            gt_labels[i] = seg["category_id"]
+            gt_masks[i] = m.astype(np.float32)
+            gt_valid[i] = 1.0
+            i += 1
+        return {
+            "images": image.astype(np.float32),
+            "gt_labels": gt_labels,
+            "gt_masks": gt_masks,
+            "gt_valid": gt_valid,
+        }
+
+
+class InstanceDatasetMapper(SemanticDatasetMapper):
+    """Instance training targets (reference mask_former_instance_dataset_
+    mapper.py): input binary instance masks + classes, augmented jointly."""
+
+    def __call__(self, image: np.ndarray, masks: np.ndarray,
+                 classes: np.ndarray) -> Dict[str, np.ndarray]:
+        c = self.cfg
+        t = self.rng.choice(list(c.min_sizes))
+        h, w = image.shape[:2]
+        scale = t / min(h, w)
+        if max(h, w) * scale > c.max_size:
+            scale = c.max_size / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        image = np.asarray(Image.fromarray(image).resize((nw, nh), Image.BILINEAR))
+        masks = np.stack([
+            np.asarray(Image.fromarray(m.astype(np.uint8)).resize((nw, nh), Image.NEAREST))
+            for m in masks
+        ]) if len(masks) else np.zeros((0, nh, nw), np.uint8)
+        y = self.rng.randint(0, max(nh - c.crop_hw[0], 0)) if nh > c.crop_hw[0] else 0
+        x = self.rng.randint(0, max(nw - c.crop_hw[1], 0)) if nw > c.crop_hw[1] else 0
+        ch, cw = min(c.crop_hw[0], nh), min(c.crop_hw[1], nw)
+        image = image[y : y + ch, x : x + cw]
+        masks = masks[:, y : y + ch, x : x + cw]
+        if c.flip and self.rng.random() < 0.5:
+            image = image[:, ::-1]
+            masks = masks[:, :, ::-1]
+        th, tw = c.crop_hw
+        ph, pw = max(th - image.shape[0], 0), max(tw - image.shape[1], 0)
+        if ph or pw:
+            image = np.pad(image, ((0, ph), (0, pw), (0, 0)), constant_values=128)
+            masks = np.pad(masks, ((0, 0), (0, ph), (0, pw)))
+
+        t_max = c.max_instances
+        gt_labels = np.zeros((t_max,), np.int32)
+        gt_masks = np.zeros((t_max, th, tw), np.float32)
+        gt_valid = np.zeros((t_max,), np.float32)
+        i = 0
+        for m, cls in zip(masks, classes):
+            if not m.any() or i >= t_max:
+                continue
+            gt_labels[i] = cls
+            gt_masks[i] = m.astype(np.float32)
+            gt_valid[i] = 1.0
+            i += 1
+        return {
+            "images": np.ascontiguousarray(image).astype(np.float32),
+            "gt_labels": gt_labels,
+            "gt_masks": gt_masks,
+            "gt_valid": gt_valid,
+        }
+
+
+def lsj_augment(rng: random.Random, image: np.ndarray, sem_seg: np.ndarray,
+                image_size: int = 1024, min_scale: float = 0.1, max_scale: float = 2.0,
+                ignore_label: int = 255):
+    """COCO large-scale-jitter recipe (reference coco_*_new_baseline mappers):
+    random resize by scale ∈ [min, max] of a fixed square canvas, then fixed
+    crop/pad to (image_size, image_size)."""
+    scale = rng.uniform(min_scale, max_scale)
+    h, w = image.shape[:2]
+    out = image_size
+    ratio = out * scale / max(h, w)
+    nh, nw = max(int(h * ratio + 0.5), 1), max(int(w * ratio + 0.5), 1)
+    img = np.asarray(Image.fromarray(image).resize((nw, nh), Image.BILINEAR))
+    seg = np.asarray(Image.fromarray(sem_seg.astype(np.uint8)).resize((nw, nh), Image.NEAREST))
+    y = rng.randint(0, max(nh - out, 0)) if nh > out else 0
+    x = rng.randint(0, max(nw - out, 0)) if nw > out else 0
+    img = img[y : y + out, x : x + out]
+    seg = seg[y : y + out, x : x + out]
+    ph, pw = out - img.shape[0], out - img.shape[1]
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=128)
+        seg = np.pad(seg, ((0, ph), (0, pw)), constant_values=ignore_label)
+    return np.ascontiguousarray(img), np.ascontiguousarray(seg.astype(np.int32))

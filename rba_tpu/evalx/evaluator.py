@@ -45,6 +45,32 @@ def _gaussian_blur(score: jax.Array, ksize=7, sigma=1.0) -> jax.Array:
     return sum(x[:, :, i : i + score.shape[2]] * k[i] for i in range(ksize))
 
 
+def prefetch(dataset, limit: int, depth: int = 3):
+    """Iterate ``dataset`` with a background decode thread so host image
+    IO/JPEG decode overlaps device compute (the reference used 10 torch
+    DataLoader workers; one thread suffices at ~90 ms/image device time)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def producer():
+        for i, sample in enumerate(dataset):
+            if i >= limit:
+                break
+            q.put(sample)
+        q.put(done)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            break
+        yield item
+
+
 def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = False):
     """Returns a jitted (image_batch) -> (B, H, W) anomaly-score function,
     cached per input shape."""
@@ -131,9 +157,7 @@ class OODEvaluator:
         """Histogram-streaming evaluation: scores never leave the device at
         full resolution.  ~1e-3 metric agreement with the exact path."""
         metrics = StreamingOODMetrics()
-        for i, sample in enumerate(dataset):
-            if i >= upper_limit:
-                break
+        for sample in prefetch(dataset, upper_limit):
             s = self.score_fn(sample.image[None])
             metrics.update(s[0], jnp.asarray(sample.label))
         m = metrics.compute()

@@ -1,0 +1,74 @@
+import numpy as np
+import random
+
+from rba_tpu.data.mappers import (
+    InstanceDatasetMapper,
+    MapperConfig,
+    PanopticDatasetMapper,
+    lsj_augment,
+    rgb2id,
+)
+
+
+def test_rgb2id():
+    color = np.zeros((2, 2, 3), np.uint8)
+    color[0, 0] = [5, 1, 0]  # 5 + 256
+    assert rgb2id(color)[0, 0] == 5 + 256
+    assert rgb2id(color)[1, 1] == 0
+
+
+def test_panoptic_mapper(rng):
+    cfg = MapperConfig(min_sizes=(128,), crop_hw=(96, 128), max_instances=8, color_aug=False)
+    m = PanopticDatasetMapper(cfg, seed=0)
+    img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    pan = np.zeros((200, 300), np.int32)
+    pan[:, :150] = 1001
+    pan[:, 150:] = 2002
+    segs = [
+        {"id": 1001, "category_id": 3},
+        {"id": 2002, "category_id": 12},
+        {"id": 9999, "category_id": 5},  # absent id -> skipped
+    ]
+    out = m(img, pan, segs)
+    assert out["images"].shape == (96, 128, 3)
+    assert out["gt_masks"].shape == (8, 96, 128)
+    n = int(out["gt_valid"].sum())
+    assert n == 2
+    assert set(out["gt_labels"][:n].tolist()) == {3, 12}
+    # masks partition the crop (up to the two segments)
+    total = out["gt_masks"][:n].sum(0)
+    assert (total <= 1.0).all() and total.sum() == 96 * 128
+
+
+def test_instance_mapper(rng):
+    cfg = MapperConfig(min_sizes=(128,), crop_hw=(96, 128), max_instances=4, color_aug=False)
+    m = InstanceDatasetMapper(cfg, seed=0)
+    img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    masks = np.zeros((2, 200, 300), np.uint8)
+    masks[0, 50:150, 50:150] = 1
+    masks[1, 20:80, 200:280] = 1
+    out = m(img, masks, np.array([4, 7]))
+    assert out["images"].shape == (96, 128, 3)
+    assert out["gt_masks"].shape == (4, 96, 128)
+    assert int(out["gt_valid"].sum()) >= 1  # at least one survives the crop
+
+
+def test_lsj_augment(rng):
+    r = random.Random(0)
+    img = (rng.rand(123, 456, 3) * 255).astype(np.uint8)
+    seg = rng.randint(0, 5, (123, 456)).astype(np.int32)
+    out_img, out_seg = lsj_augment(r, img, seg, image_size=256)
+    assert out_img.shape == (256, 256, 3)
+    assert out_seg.shape == (256, 256)
+    assert set(np.unique(out_seg)) <= set(range(5)) | {255}
+
+
+def test_catalog(tmp_path):
+    from rba_tpu.data import catalog
+
+    catalog.register("toy_ds", lambda: [1, 2, 3], classes=["a"])
+    assert catalog.get("toy_ds") == [1, 2, 3]
+    assert catalog.metadata("toy_ds")["classes"] == ["a"]
+    assert "toy_ds" in catalog.registered()
+    catalog.register_standard_datasets(str(tmp_path))  # registers names only
+    assert "cityscapes_fine_sem_seg_val" in catalog.registered()
