@@ -166,13 +166,18 @@ class MapperConfig:
 
 
 class SemanticDatasetMapper:
-    """image + semantic PNG → training example with padded binary masks."""
+    """image + semantic PNG → training example with padded binary masks.
+
+    ``unseen_label_set`` removes classes from supervision (they become
+    ignore), the open-world protocol of the reference's open_coco_mapper
+    (open_coco_mapper.py:32-36, 210-211)."""
 
     def __init__(self, cfg: MapperConfig, labels_mapping: Optional[np.ndarray] = None,
-                 seed: int = 0):
+                 seed: int = 0, unseen_label_set: Optional[Sequence[int]] = None):
         self.cfg = cfg
         self.labels_mapping = labels_mapping
         self.rng = random.Random(seed)
+        self.unseen = set(int(c) for c in unseen_label_set) if unseen_label_set else None
 
     def _augment(self, image, sem_seg):
         c = self.cfg
@@ -217,6 +222,9 @@ class SemanticDatasetMapper:
         sem_seg = sem_seg.astype(np.int32)
         if self.labels_mapping is not None:
             sem_seg = self.labels_mapping[np.clip(sem_seg, 0, len(self.labels_mapping) - 1)]
+        if self.unseen:
+            for c in self.unseen:
+                sem_seg = np.where(sem_seg == c, self.cfg.ignore_label, sem_seg)
         image, sem_seg = self._augment(image, sem_seg)
         image, sem_seg = self._pad(image, sem_seg)
         gt_labels, gt_masks, gt_valid = self._build_targets(sem_seg)

@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--store_anomaly_scores", action="store_true")
     p.add_argument("--upper_limit", type=int, default=1300)
     p.add_argument("--smoothing", action="store_true")
+    p.add_argument("--tta", action="store_true",
+                   help="multi-scale + flip test-time augmentation (TEST.AUG semantics)")
+    p.add_argument("--sliding-window", action="store_true",
+                   help="tiled inference for very high-res inputs (Mapillary)")
     p.add_argument("--exact", action="store_true",
                    help="all-pixel sklearn-equivalent metrics instead of streaming histograms")
     p.add_argument("--shard", default=None, help="i/n work-list sharding for multi-host sweeps")
@@ -130,7 +134,29 @@ def main(argv=None):
             )
         evaluator = loaded[model_dir]
         print(f"evaluating {model_name} on {ds_name} ({len(datasets[ds_name])} images)")
-        if args.exact or args.store_anomaly_scores:
+        if args.tta or args.sliding_window:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ..evalx.metrics import exact_ood_metrics
+            from ..models.maskformer import rba_score
+            from ..models.sliding_window import sliding_window_sem_seg
+            from ..models.tta import tta_inference
+
+            cfg_m, params_m = load_model(model_dir)
+            scores, gts = [], []
+            for i, sample in enumerate(datasets[ds_name]):
+                if i >= args.upper_limit:
+                    break
+                if args.tta:
+                    sem = tta_inference(params_m, cfg_m, sample.image)
+                else:
+                    sem = sliding_window_sem_seg(params_m, cfg_m, sample.image)
+                scores.append(np.asarray(rba_score(sem[None])[0]))
+                gts.append(sample.label)
+            m = exact_ood_metrics(np.stack(scores).reshape(-1), np.stack(gts).reshape(-1))
+            metrics = {"auroc": m["AUROC"], "aupr": m["AUPRC"], "fpr95": m["FPR@95TPR"]}
+        elif args.exact or args.store_anomaly_scores:
             scores, gts = evaluator.compute_anomaly_scores(
                 datasets[ds_name], upper_limit=args.upper_limit
             )
