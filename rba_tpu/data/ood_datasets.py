@@ -467,3 +467,45 @@ class CityscapesIncremental(CityscapesSemSeg):
         for c in self.holdout:
             label[s.label == c] = 1
         return Sample(s.image, label, s.name)
+
+
+class PanopticDataset:
+    """COCO-format panoptic ground truth: a JSON of annotations plus RGB
+    id-map PNGs (id = R + 256G + 256²B).  Yields (image, pan_id_map,
+    segments_info) tuples for the PQ evaluators; works for COCO panoptic and
+    Cityscapes converted via panopticapi (the format the reference's
+    open-panoptic evaluators consume)."""
+
+    name = "panoptic"
+
+    def __init__(self, image_root: str, panoptic_root: str, json_path: str):
+        import json as _json
+
+        with open(json_path) as f:
+            meta = _json.load(f)
+        images = {im["id"]: im["file_name"] for im in meta.get("images", [])}
+        self.entries = []
+        for ann in meta["annotations"]:
+            img_name = images.get(ann.get("image_id"), ann["file_name"].replace(".png", ".jpg"))
+            self.entries.append(
+                (
+                    os.path.join(image_root, img_name),
+                    os.path.join(panoptic_root, ann["file_name"]),
+                    ann["segments_info"],
+                )
+            )
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i):
+        from .mappers import rgb2id
+
+        img_path, pan_path, segments = self.entries[i]
+        image = _read_image(img_path)
+        pan = rgb2id(np.asarray(Image.open(pan_path).convert("RGB")))
+        return image, pan, segments
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

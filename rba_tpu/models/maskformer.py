@@ -146,11 +146,13 @@ def maskformer_infer(
     cfg: RbAConfig,
     images: jax.Array,  # (B, H, W, 3) raw RGB float
     out_hw: Optional[Tuple[int, int]] = None,  # original resolution for the score map
+    include_void: bool = False,  # keep the no-object channel (K+1 outputs)
 ) -> Dict[str, jax.Array]:
     """End-to-end inference: returns {"sem_seg": (B, K, h, w),
     "rba": (B, h, w)}.  ``images``' H/W play the role of the reference's
     ``image_size`` (pre-padding size); ``out_hw`` the dataset's original
-    (height, width)."""
+    (height, width).  ``include_void`` mirrors the reference's
+    semantic_inference_with_void (maskformer_model.py:388-392)."""
     h_img, w_img = images.shape[1], images.shape[2]
     out_hw = out_hw or (h_img, w_img)
     x = preprocess(cfg, images)
@@ -165,7 +167,7 @@ def maskformer_infer(
 
     # semantic inference at padded size, then crop + resize the class-prob map
     # (default sem_seg_postprocess-after-inference path, reference :322-333)
-    sem = semantic_inference(mask_cls, mask_pred)  # (B, K, Hp, Wp)
+    sem = semantic_inference(mask_cls, mask_pred, include_void=include_void)
     sem = sem[:, :, :h_img, :w_img]
     sem = resize_bilinear(sem, out_hw, align_corners=False)
     result = {"sem_seg": sem, "rba": rba_score(sem)}

@@ -183,10 +183,14 @@ def _window_attention(
         return linear(attn_params["proj"], out)
 
     # XLA reference path
-    attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k, preferred_element_type=jnp.float32)
-    attn = attn + rel_bias[None, None]
+    import os
+
+    fast = bool(os.environ.get("RBA_TPU_FAST_MATH"))
+    score_t = x.dtype if fast else jnp.float32
+    attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k, preferred_element_type=score_t)
+    attn = attn + rel_bias[None, None].astype(score_t)
     if mask is not None:
-        attn = attn + jnp.asarray(mask, jnp.float32)[None, :, None]
+        attn = attn + jnp.asarray(mask, score_t)[None, :, None]
 
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v, preferred_element_type=jnp.float32)
