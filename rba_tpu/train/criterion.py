@@ -282,9 +282,14 @@ def criterion(
 
     def layer_losses(rng, preds, suffix=""):
         r1, r2 = jax.random.split(rng)
-        assignment = hungarian_match(
-            r1, w, preds["pred_logits"], preds["pred_masks"], gt_labels, gt_masks, gt_valid
-        )
+        if w.matcher == "FixedMatcher":
+            from .matcher import fixed_match
+
+            assignment = fixed_match(gt_labels, preds["pred_logits"].shape[1])
+        else:
+            assignment = hungarian_match(
+                r1, w, preds["pred_logits"], preds["pred_masks"], gt_labels, gt_masks, gt_valid
+            )
         lc = loss_labels(cfg, preds["pred_logits"], gt_labels, gt_valid, assignment)
         lm, ld = loss_masks(
             cfg, r2, preds["pred_masks"], gt_masks, gt_valid, assignment, num_masks
