@@ -38,10 +38,20 @@ def main():
     float(fn(params, img))
     warm = time.perf_counter() - t0
 
-    iters = max(3, int(3.0 / max(warm, 1e-3)))
+    # throughput with a 2-deep pipeline: JAX async dispatch keeps the chip
+    # busy while the host round-trips (the tunnel adds ~26 ms/fetch; profiled
+    # device time is ~59 ms/image)
+    from collections import deque
+
+    iters = max(4, int(3.0 / max(warm, 1e-3)))
+    pending = deque()
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(fn(params, img))
+        pending.append(fn(params, img))
+        if len(pending) > 2:
+            float(pending.popleft())
+    while pending:
+        float(pending.popleft())
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

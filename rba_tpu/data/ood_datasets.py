@@ -269,19 +269,32 @@ class CityscapesSemSeg(OODDataset):
 
 
 class BDD100KSeg(OODDataset):
-    """BDD100K semantic segmentation (reference datasets/bdd100k.py):
-    images/<split>/*.jpg + labels/<split>/*_train_id.png, at 720×1280."""
+    """BDD100K semantic segmentation (reference datasets/bdd100k.py): reads
+    ``<split>_paths.txt`` files of "image,label" pairs rooted at the dataset
+    dir (the reference's convention, :197-211); falls back to the standard
+    images/<split> + labels/<split>/*_train_id.png layout."""
 
     name = "bdd100k"
 
     def __init__(self, root: str, split: str = "val", resize_to=(720, 1280)):
         super().__init__()
-        img_root = os.path.join(root, "images", split)
-        lab_root = os.path.join(root, "labels", split)
-        for f in sorted(os.listdir(img_root)):
-            base = os.path.splitext(f)[0]
-            self.images.append(os.path.join(img_root, f))
-            self.labels.append(os.path.join(lab_root, base + "_train_id.png"))
+        paths_file = os.path.join(root, f"{split}_paths.txt")
+        if os.path.exists(paths_file):
+            with open(paths_file) as f:
+                for line in f:
+                    line = line.strip()
+                    if "," in line:
+                        img, lab = line.split(",")[:2]
+                        self.images.append(os.path.join(root, img))
+                        self.labels.append(os.path.join(root, lab))
+        else:
+            img_root = os.path.join(root, "images", split)
+            lab_root = os.path.join(root, "labels", split)
+            if os.path.isdir(img_root):
+                for f in sorted(os.listdir(img_root)):
+                    base = os.path.splitext(f)[0]
+                    self.images.append(os.path.join(img_root, f))
+                    self.labels.append(os.path.join(lab_root, base + "_train_id.png"))
         self.resize_to = resize_to
 
 

@@ -125,21 +125,29 @@ def exact_ood_metrics(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float
 
 
 class StreamingOODMetrics:
-    """Accumulate per-image histograms (device) → final metrics (host)."""
+    """Accumulate per-image histograms on device; one host transfer at the
+    end.  Updates are async-dispatched, so the evaluation loop never blocks
+    on a device→host sync per image (the chip stays busy while the host
+    decodes the next image)."""
 
     def __init__(self, bins: int = DEFAULT_BINS, score_range=DEFAULT_RANGE):
         self.bins = bins
         self.range = score_range
-        self.pos = np.zeros((bins,), np.int64)
-        self.neg = np.zeros((bins,), np.int64)
+        self.pos = jnp.zeros((bins,), jnp.int32)
+        self.neg = jnp.zeros((bins,), jnp.int32)
         self._update = jax.jit(
-            lambda s, l: histogram_update(s, l, bins=bins, score_range=score_range)
+            lambda p, n, s, l: tuple(
+                a + b
+                for a, b in zip(
+                    (p, n), histogram_update(s, l, bins=bins, score_range=score_range)
+                )
+            )
         )
 
     def update(self, scores, labels):
-        p, n = self._update(scores, labels)
-        self.pos += np.asarray(p, np.int64)
-        self.neg += np.asarray(n, np.int64)
+        self.pos, self.neg = self._update(self.pos, self.neg, scores, jnp.asarray(labels))
 
     def compute(self) -> Dict[str, float]:
-        return metrics_from_histograms(self.pos, self.neg)
+        return metrics_from_histograms(
+            np.asarray(self.pos, np.int64), np.asarray(self.neg, np.int64)
+        )
