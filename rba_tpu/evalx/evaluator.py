@@ -78,6 +78,9 @@ def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = 
     @functools.lru_cache(maxsize=32)
     def for_shape(shape: Tuple[int, ...]):
         def fn(params, images):
+            # images arrive uint8 (4x less host→device transfer) and are
+            # cast to float on device
+            images = images.astype(jnp.float32)
             if score == "rba" and not smoothing:
                 # fused Pallas tail; exact because the eval path feeds
                 # original-resolution images (crop-only postprocess)
@@ -102,7 +105,9 @@ def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = 
         return jax.jit(fn)
 
     def score_fn(images: np.ndarray) -> jax.Array:
-        return for_shape(tuple(images.shape))(params, jnp.asarray(images, jnp.float32))
+        return for_shape(tuple(images.shape))(
+            params, jnp.asarray(np.ascontiguousarray(images))
+        )
 
     return score_fn
 
@@ -159,7 +164,8 @@ class OODEvaluator:
         metrics = StreamingOODMetrics()
         for sample in prefetch(dataset, upper_limit):
             s = self.score_fn(sample.image[None])
-            metrics.update(s[0], jnp.asarray(sample.label))
+            # uint8 labels: 4x less tunnel traffic; histogram compares ints
+            metrics.update(s[0], jnp.asarray(sample.label.astype(np.uint8)))
         m = metrics.compute()
         return {"auroc": m["AUROC"], "aupr": m["AUPRC"], "fpr95": m["FPR@95TPR"]}
 
