@@ -113,13 +113,20 @@ def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = 
 
 
 class OODEvaluator:
-    """Drop-in equivalent of the reference OODEvaluator, TPU-backed."""
+    """Drop-in equivalent of the reference OODEvaluator, TPU-backed.
 
-    def __init__(self, cfg: RbAConfig, params, score: str = "rba",
+    ``score`` may be a name ("rba" | "pebal"/"energy" | "dense_hybrid") or a
+    custom callable (images_uint8 (B,H,W,3) → (B,H,W) scores), mirroring the
+    reference's pluggable ``anomaly_score_func`` (support.py:228-245)."""
+
+    def __init__(self, cfg: RbAConfig, params, score="rba",
                  use_gaussian_smoothing: bool = False):
         self.cfg = cfg
         self.params = params
-        self.score_fn = make_score_fn(cfg, params, score, use_gaussian_smoothing)
+        if callable(score):
+            self.score_fn = score
+        else:
+            self.score_fn = make_score_fn(cfg, params, score, use_gaussian_smoothing)
 
     # ------------------------------------------------------------------
     # reference-parity (exact) path
