@@ -68,6 +68,7 @@ def maskformer_forward(
     params,
     cfg: RbAConfig,
     images: jax.Array,  # (B, Hp, Wp, 3) normalized + padded
+    final_mask_layout: str = "bqhw",
 ) -> Dict:
     """Raw network outputs: pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4),
     aux_outputs.  Shared by training and inference."""
@@ -87,6 +88,7 @@ def maskformer_forward(
         ms_feats[: cfg.decoder.num_feature_levels],
         mask_features,
         compute_dtype=jnp.float32,
+        final_mask_layout=final_mask_layout,
     )
 
 
@@ -129,14 +131,17 @@ def maskformer_infer_rba(
     evaluate_ood.py:143-150 + support.py get_datasets)."""
     h_img, w_img = images.shape[1], images.shape[2]
     x = preprocess(cfg, images)
-    outputs = maskformer_forward(params, cfg, x)
     if jax.default_backend() == "tpu":
         from ..ops.pallas.fused_rba import fused_rba_score
 
-        rba = fused_rba_score(outputs["pred_logits"], outputs["pred_masks"])
+        outputs = maskformer_forward(params, cfg, x, final_mask_layout="bhwq")
+        rba = fused_rba_score(
+            outputs["pred_logits"], outputs["pred_masks"], masks_layout="bhwq"
+        )
     else:
         from ..ops.pallas.fused_rba import fused_rba_score_reference
 
+        outputs = maskformer_forward(params, cfg, x)
         rba = fused_rba_score_reference(outputs["pred_logits"], outputs["pred_masks"])
     return rba[:, :h_img, :w_img]
 

@@ -173,6 +173,7 @@ def decoder_apply(
     x: Sequence[jax.Array],  # multi-scale NHWC features (len = num_feature_levels)
     mask_features: jax.Array,  # (B, H/4, W/4, C_mask)
     compute_dtype=jnp.float32,
+    final_mask_layout: str = "bqhw",  # "bhwq" feeds the fused RbA kernel
 ) -> Dict:
     assert len(x) == cfg.num_feature_levels
     b = x[0].shape[0]
@@ -230,9 +231,22 @@ def decoder_apply(
         y = linear(layer["linear2"], jax.nn.relu(linear(layer["linear1"], output)))
         output = layer_norm(layer["norm"], output + y)
 
-        outputs_class, outputs_mask, attn_mask = _prediction_heads(
-            params, cfg, output, mask_features, sizes[(i + 1) % cfg.num_feature_levels]
-        )
+        if i == cfg.dec_layers - 1 and final_mask_layout == "bhwq":
+            # final prediction only: channels-last masks for the fused RbA
+            # kernel (no HBM transpose), and no attention-mask rebuild
+            dec_out = layer_norm(params["decoder_norm"], output)
+            outputs_class = linear(params["class_embed"], dec_out)
+            mask_embed = mlp_apply(params["mask_embed"], dec_out)
+            outputs_mask = jnp.einsum(
+                "bqc,bhwc->bhwq",
+                mask_embed.astype(jnp.float32),
+                mask_features.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            outputs_class, outputs_mask, attn_mask = _prediction_heads(
+                params, cfg, output, mask_features, sizes[(i + 1) % cfg.num_feature_levels]
+            )
         predictions_class.append(outputs_class)
         predictions_mask.append(outputs_mask)
 

@@ -77,10 +77,14 @@ def _make_pair_kernel(wp: int, row_w):
 
 def fused_rba_score(
     mask_cls: jax.Array,  # (B, Q, K+1) class logits
-    mask_pred: jax.Array,  # (B, Q, h, w) low-res mask logits (stride-4)
+    mask_pred: jax.Array,  # (B, Q, h, w) or (B, h, w, Q) low-res mask logits
     interpret: bool = False,
+    masks_layout: str = "bqhw",  # "bhwq" skips the HBM transpose entirely
 ) -> jax.Array:  # (B, 4h, 4w) RbA score
-    b, q, h, w = mask_pred.shape
+    if masks_layout == "bqhw":
+        b, q, h, w = mask_pred.shape
+    else:
+        b, h, w, q = mask_pred.shape
     k = mask_cls.shape[-1] - 1
     qp = max(128, ((q + 127) // 128) * 128)
 
@@ -90,7 +94,9 @@ def fused_rba_score(
     hp = ((h + TH - 1) // TH) * TH
 
     # (B, h, w, Q): Q on lanes; 1-px replicate border (torch index clamping)
-    m = jnp.transpose(mask_pred.astype(jnp.float32), (0, 2, 3, 1))
+    m = mask_pred.astype(jnp.float32)
+    if masks_layout == "bqhw":
+        m = jnp.transpose(m, (0, 2, 3, 1))
     m = jnp.pad(m, ((0, 0), (1, 1 + hp - h), (1, 1), (0, qp - q)), mode="edge")
     streams = (m[:, 0:hp], m[:, 1 : hp + 1], m[:, 2 : hp + 2])  # P[k], P[k+1], P[k+2]
 
