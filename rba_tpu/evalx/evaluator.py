@@ -137,9 +137,7 @@ class OODEvaluator:
         """Loop over the dataset, return stacked (N, H, W) scores + labels
         (reference support.py:353-398)."""
         scores, gts, preds = [], [], []
-        for i, sample in enumerate(dataset):
-            if i >= upper_limit:
-                break
+        for sample in prefetch(dataset, upper_limit):
             s = self.score_fn(sample.image[None])
             scores.append(np.asarray(s[0], np.float32))
             gts.append(sample.label)

@@ -300,9 +300,11 @@ def swin_apply(
         x = layer_norm(pe["norm"], x)
 
     if cfg.ape and "absolute_pos_embed" in params:
-        from ..ops.resize import resize_bilinear_nhwc  # bicubic in reference; bilinear approx
-
-        ape = resize_bilinear_nhwc(params["absolute_pos_embed"], (x.shape[1], x.shape[2]))
+        # bicubic APE resize (reference swin.py:655-659)
+        ape = params["absolute_pos_embed"]
+        ape = jax.image.resize(
+            ape, (1, x.shape[1], x.shape[2], ape.shape[-1]), method="bicubic"
+        )
         x = x + ape.astype(compute_dtype)
 
     # stochastic depth schedule: linear over total depth (reference swin.py:569)

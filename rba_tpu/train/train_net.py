@@ -129,6 +129,16 @@ def main(argv=None):
     it = data_iterator(cfg, args, batch_size)
     log_path = os.path.join(args.output_dir, "metrics.jsonl")
 
+    # optional wandb mirror (SOLVER.USE_WANDB in the reference config schema)
+    wandb_run = None
+    if os.environ.get("WANDB_PROJECT"):
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=os.environ["WANDB_PROJECT"])
+        except ImportError:
+            print("wandb requested via WANDB_PROJECT but not installed; logging to jsonl only")
+
     t0 = time.time()
     for i in range(start, max_iter):
         batch = shard_batch(mesh, it.__next__())
@@ -140,6 +150,8 @@ def main(argv=None):
             print(json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in m.items()}))
             with open(log_path, "a") as f:
                 f.write(json.dumps(m) + "\n")
+            if wandb_run is not None:
+                wandb_run.log(m, step=i + 1)
         if (i + 1) % args.checkpoint_period == 0 or (i + 1) == max_iter:
             save_train_state(ckpt_dir, state, i + 1)
             print(f"saved checkpoint at step {i + 1}")
