@@ -324,34 +324,21 @@ def swin_apply(
                     rng, sub = jax.random.split(rng)
                 else:
                     sub = None
-                block_fn = swin_block_apply
-                if cfg.use_checkpoint and not deterministic:
-                    block_fn = jax.checkpoint(
-                        functools.partial(
-                            swin_block_apply,
-                            num_heads=cfg.num_heads[i],
-                            ws=cfg.window_size,
-                            shift=shift,
-                            qk_scale=cfg.qk_scale,
-                            drop_path_rate=float(dpr[blk_idx]),
-                            rng=sub,
-                            deterministic=deterministic,
-                        ),
-                        static_argnums=(),
-                    )
-                    x = block_fn(blk, x)
-                else:
-                    x = swin_block_apply(
-                        blk,
-                        x,
-                        num_heads=cfg.num_heads[i],
-                        ws=cfg.window_size,
-                        shift=shift,
-                        qk_scale=cfg.qk_scale,
-                        drop_path_rate=float(dpr[blk_idx]),
-                        rng=sub,
-                        deterministic=deterministic,
-                    )
+                block_fn = functools.partial(
+                    swin_block_apply,
+                    num_heads=cfg.num_heads[i],
+                    ws=cfg.window_size,
+                    shift=shift,
+                    qk_scale=cfg.qk_scale,
+                    drop_path_rate=float(dpr[blk_idx]),
+                    rng=sub,
+                    deterministic=deterministic,
+                )
+                if cfg.use_checkpoint:
+                    # remat per block (MODEL.SWIN.USE_CHECKPOINT →
+                    # torch.utils.checkpoint in the reference, swin.py:444-445)
+                    block_fn = jax.checkpoint(block_fn)
+                x = block_fn(blk, x)
                 blk_idx += 1
             return x
 
