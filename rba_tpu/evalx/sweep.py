@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--store_anomaly_scores", action="store_true")
     p.add_argument("--upper_limit", type=int, default=1300)
+    # accepted for reference-CLI compatibility (the TPU pipeline manages its
+    # own batching/prefetch; device selection is JAX-global)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--device", default=None)
     p.add_argument("--smoothing", action="store_true")
     p.add_argument("--tta", action="store_true",
                    help="multi-scale + flip test-time augmentation (TEST.AUG semantics)")
@@ -77,8 +82,16 @@ def load_model(model_dir: str):
     return cfg, params
 
 
-def store_score_pngs(scores: np.ndarray, path: str):
+def store_score_pngs(scores: np.ndarray, path: str, names=None):
+    """Visualization PNGs (reference behavior) plus raw per-image ``.npy``
+    score maps named after the source images — the format SegmentMeIfYouCan
+    submissions consume."""
     os.makedirs(path, exist_ok=True)
+    if names is None:
+        names = [f"score_{i}" for i in range(len(scores))]
+    for i, s in enumerate(scores):
+        base = os.path.splitext(os.path.basename(names[i]))[0]
+        np.save(os.path.join(path, base + ".npy"), s.squeeze().astype(np.float32))
     try:
         import matplotlib
 
@@ -86,10 +99,10 @@ def store_score_pngs(scores: np.ndarray, path: str):
         import matplotlib.image as mpimg
 
         for i, s in enumerate(scores):
-            mpimg.imsave(os.path.join(path, f"score_{i}.png"), s.squeeze(), cmap="viridis")
+            base = os.path.splitext(os.path.basename(names[i]))[0]
+            mpimg.imsave(os.path.join(path, base + ".png"), s.squeeze(), cmap="viridis")
     except ImportError:
-        for i, s in enumerate(scores):
-            np.save(os.path.join(path, f"score_{i}.npy"), s.squeeze())
+        pass
 
 
 def main(argv=None):
@@ -161,7 +174,10 @@ def main(argv=None):
                 datasets[ds_name], upper_limit=args.upper_limit
             )
             if args.store_anomaly_scores:
-                store_score_pngs(scores, os.path.join("anomaly_scores", model_name, ds_name))
+                names = [os.path.basename(p) for p in datasets[ds_name].images[: len(scores)]]
+                store_score_pngs(
+                    scores, os.path.join("anomaly_scores", model_name, ds_name), names
+                )
             metrics = evaluator.evaluate_ood(scores, gts)
         else:
             metrics = evaluator.evaluate_dataset(datasets[ds_name], upper_limit=args.upper_limit)
