@@ -54,7 +54,6 @@ def init_ms_deform_attn(key, d_model: int, n_levels: int, n_heads: int, n_points
     grid = np.tile(grid.reshape(n_heads, 1, 1, 2), (1, n_levels, n_points, 1))
     for i in range(n_points):
         grid[:, :, i, :] *= i + 1
-    from ..ops.nn import xavier_uniform
 
     return {
         "sampling_offsets": {
@@ -111,8 +110,6 @@ def ms_deform_attn_apply(
 
 def init_encoder_layer(key, d_model: int, d_ffn: int, n_levels: int, n_heads: int, n_points: int):
     k1, k2, k3 = jax.random.split(key, 3)
-    from ..ops.nn import xavier_uniform
-
     return {
         "self_attn": init_ms_deform_attn(k1, d_model, n_levels, n_heads, n_points),
         "norm1": init_layer_norm(d_model),
