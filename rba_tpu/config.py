@@ -99,6 +99,13 @@ class DecoderConfig:
     enforce_input_project: bool = False
     num_feature_levels: int = 1  # = len(DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES)
     ood_prediction: bool = False  # DenseHybrid auxiliary head
+    # TRANSFORMER_DECODER_NAME registry choice: MultiScaleMaskedTransformerDecoder
+    # (live path) | MultiScalePerPixelDecoder | SimpleDecoder |
+    # StandardTransformerDecoder (reference …decoder.py registry + fpn path)
+    name: str = "MultiScaleMaskedTransformerDecoder"
+    # TRANSFORMER_IN_FEATURE routing in MaskFormerHead.layers
+    # (reference mask_former_head.py:128-146)
+    transformer_in_feature: str = "multi_scale_pixel_decoder"
 
 
 @dataclass(frozen=True)
@@ -147,6 +154,8 @@ class OODConfig:
     sparsity_weight: float = 5.0e-4
     gambler_loss: bool = False
     gambler_weight: float = 1.0
+    ood_reg: float = 0.1  # PEBAL boosting coefficient (PEBAL_OOD_REG)
+    pebal_reward: float = 4.5  # PEBAL_REWARD fallback reward
     densehybrid_loss: bool = False
     densehybrid_beta: float = 0.03
     densehybrid_weight: float = 1.0
@@ -295,6 +304,8 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         enforce_input_project=mf.get("ENFORCE_INPUT_PROJ", False),
         num_feature_levels=len(head.get("DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES", ("res5",))),
         ood_prediction=mf.get("DENSE_HYBRID_LOSS", False),
+        name=mf.get("TRANSFORMER_DECODER_NAME", "MultiScaleMaskedTransformerDecoder"),
+        transformer_in_feature=mf.get("TRANSFORMER_IN_FEATURE", "multi_scale_pixel_decoder"),
     )
 
     tst = mf.get("TEST", {})
@@ -339,6 +350,8 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         sparsity_weight=mf.get("SPARSITY_WEIGHT", 5.0e-4),
         gambler_loss=mf.get("GAMBLER_LOSS", False),
         gambler_weight=mf.get("GAMBLER_WEIGHT", 1.0),
+        ood_reg=mf.get("PEBAL_OOD_REG", 0.1),
+        pebal_reward=mf.get("PEBAL_REWARD", 4.5),
         densehybrid_loss=mf.get("DENSE_HYBRID_LOSS", False),
         densehybrid_beta=mf.get("DENSE_HYBRID_BETA", 0.03),
         densehybrid_weight=mf.get("DENSE_HYBRID_WEIGHT", 1.0),

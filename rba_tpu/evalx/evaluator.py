@@ -128,6 +128,19 @@ class OODEvaluator:
         else:
             self.score_fn = make_score_fn(cfg, params, score, use_gaussian_smoothing)
 
+        # preds fn built once and cached per input shape — constructing a
+        # fresh jit(lambda) per image would retrace/recompile every iteration
+        @functools.lru_cache(maxsize=32)
+        def _preds_for_shape(shape: Tuple[int, ...]):
+            return jax.jit(
+                lambda p, x: jnp.argmax(
+                    maskformer_infer(p, self.cfg, x.astype(jnp.float32))["sem_seg"],
+                    axis=1,
+                )
+            )
+
+        self._preds_for_shape = _preds_for_shape
+
     # ------------------------------------------------------------------
     # reference-parity (exact) path
     # ------------------------------------------------------------------
@@ -142,11 +155,8 @@ class OODEvaluator:
             scores.append(np.asarray(s[0], np.float32))
             gts.append(sample.label)
             if return_preds:
-                out = jax.jit(
-                    lambda p, x: jnp.argmax(
-                        maskformer_infer(p, self.cfg, x)["sem_seg"], axis=1
-                    )
-                )(self.params, jnp.asarray(sample.image[None], jnp.float32))
+                img = np.ascontiguousarray(sample.image[None])
+                out = self._preds_for_shape(img.shape)(self.params, jnp.asarray(img))
                 preds.append(np.asarray(out[0]))
         scores = np.stack(scores)
         gts = np.stack(gts)
@@ -163,10 +173,18 @@ class OODEvaluator:
     # ------------------------------------------------------------------
     # TPU-native streaming path
     # ------------------------------------------------------------------
-    def evaluate_dataset(self, dataset, upper_limit: int = 1300) -> Dict[str, float]:
+    def evaluate_dataset(
+        self, dataset, upper_limit: int = 1300, score_range=None
+    ) -> Dict[str, float]:
         """Histogram-streaming evaluation: scores never leave the device at
-        full resolution.  ~1e-3 metric agreement with the exact path."""
-        metrics = StreamingOODMetrics()
+        full resolution.  ~1e-3 metric agreement with the exact path.
+        ``score_range`` widens the histogram for unbounded scores (energy /
+        dense_hybrid); out-of-range scores trigger a saturation warning."""
+        metrics = (
+            StreamingOODMetrics(score_range=score_range)
+            if score_range is not None
+            else StreamingOODMetrics()
+        )
         for sample in prefetch(dataset, upper_limit):
             s = self.score_fn(sample.image[None])
             # uint8 labels: 4x less tunnel traffic; histogram compares ints

@@ -79,8 +79,9 @@ def metrics_from_histograms(pos_hist: np.ndarray, neg_hist: np.ndarray) -> Dict[
     tpr_full = np.concatenate([[0.0], tpr])
     auroc = float(np.trapezoid(tpr_full, fpr_full))
 
-    # FPR at first tpr >= 0.95
-    k = np.searchsorted(tpr, 0.95, side="left")
+    # FPR at the first tpr strictly > 0.95 (reference support.py:252-255
+    # breaks on `if i > 0.95`)
+    k = np.searchsorted(tpr, 0.95, side="right")
     k = min(k, len(fpr) - 1)
     fpr95 = float(fpr[k])
     return {"AUPRC": auprc, "AUROC": auroc, "FPR@95TPR": fpr95}
@@ -119,7 +120,8 @@ def exact_ood_metrics(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float
     r_prev = np.concatenate([[0.0], tpr[:-1]])
     auprc = float(np.sum((tpr - r_prev) * precision))
     auroc = float(np.trapezoid(np.concatenate([[0.0], tpr]), np.concatenate([[0.0], fpr])))
-    k = np.searchsorted(tpr, 0.95, side="left")
+    # first tpr strictly > 0.95, matching support.py:252-255
+    k = np.searchsorted(tpr, 0.95, side="right")
     k = min(k, len(fpr) - 1)
     return {"AUPRC": auprc, "AUROC": auroc, "FPR@95TPR": float(fpr[k])}
 
@@ -135,19 +137,43 @@ class StreamingOODMetrics:
         self.range = score_range
         self.pos = jnp.zeros((bins,), jnp.int32)
         self.neg = jnp.zeros((bins,), jnp.int32)
-        self._update = jax.jit(
-            lambda p, n, s, l: tuple(
-                a + b
-                for a, b in zip(
-                    (p, n), histogram_update(s, l, bins=bins, score_range=score_range)
-                )
-            )
-        )
+        # running observed min/max over scored (non-ignore) pixels, so
+        # unbounded scores (e.g. energy logsumexp) that saturate the edge
+        # bins are detected instead of silently distorting the metrics
+        self.smin = jnp.asarray(jnp.inf, jnp.float32)
+        self.smax = jnp.asarray(-jnp.inf, jnp.float32)
+
+        def _upd(p, n, lo, hi, s, l):
+            dp, dn = histogram_update(s, l, bins=bins, score_range=score_range)
+            sf = s.reshape(-1).astype(jnp.float32)
+            scored = l.reshape(-1) != 255
+            lo = jnp.minimum(lo, jnp.min(jnp.where(scored, sf, jnp.inf)))
+            hi = jnp.maximum(hi, jnp.max(jnp.where(scored, sf, -jnp.inf)))
+            return p + dp, n + dn, lo, hi
+
+        self._update = jax.jit(_upd)
 
     def update(self, scores, labels):
-        self.pos, self.neg = self._update(self.pos, self.neg, scores, jnp.asarray(labels))
+        self.pos, self.neg, self.smin, self.smax = self._update(
+            self.pos, self.neg, self.smin, self.smax, scores, jnp.asarray(labels)
+        )
+
+    @property
+    def clipped(self) -> bool:
+        lo, hi = self.range
+        return bool(float(self.smin) < lo) or bool(float(self.smax) > hi)
 
     def compute(self) -> Dict[str, float]:
+        if self.clipped:
+            import warnings
+
+            warnings.warn(
+                f"StreamingOODMetrics: observed scores "
+                f"[{float(self.smin):.3g}, {float(self.smax):.3g}] exceed the "
+                f"histogram range {self.range}; edge bins are saturated — "
+                f"re-run with a wider score_range or the exact path",
+                stacklevel=2,
+            )
         return metrics_from_histograms(
             np.asarray(self.pos, np.int64), np.asarray(self.neg, np.int64)
         )

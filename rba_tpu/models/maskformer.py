@@ -27,6 +27,34 @@ from .swin import swin_apply, swin_init
 from .transformer_decoder import decoder_apply, decoder_init
 
 
+def _predictor_init(key, cfg: RbAConfig, backbone_channels):
+    """TRANSFORMER_DECODER_NAME registry dispatch (reference
+    transformer_decoder/__init__ registry + mask_former_head.py:93-146)."""
+    name = cfg.decoder.name
+    if name == "MultiScaleMaskedTransformerDecoder":
+        return decoder_init(key, cfg.decoder, cfg.num_classes, cfg.pixel_decoder.conv_dim)
+    if name == "MultiScalePerPixelDecoder":
+        from .transformer_decoder import per_pixel_decoder_init
+
+        return per_pixel_decoder_init(key, cfg.decoder, cfg.pixel_decoder.conv_dim)
+    if name in ("SimpleDecoder", "SimpleTransformerDecoder"):
+        from .transformer_decoder import simple_decoder_init
+
+        return simple_decoder_init(key, cfg.decoder, cfg.num_classes)
+    if name == "StandardTransformerDecoder":
+        from .baseline_heads import standard_decoder_init
+
+        in_feat = cfg.decoder.transformer_in_feature
+        if in_feat in ("transformer_encoder", "multi_scale_pixel_decoder"):
+            in_ch = cfg.pixel_decoder.conv_dim
+        elif in_feat == "pixel_embedding":
+            in_ch = cfg.pixel_decoder.mask_dim
+        else:
+            in_ch = backbone_channels[in_feat]
+        return standard_decoder_init(key, cfg, in_ch)
+    raise NotImplementedError(f"TRANSFORMER_DECODER_NAME {name}")
+
+
 def maskformer_init(key, cfg: RbAConfig):
     from .backbones import build_backbone
 
@@ -36,9 +64,7 @@ def maskformer_init(key, cfg: RbAConfig):
         "backbone": backbone_init(k1),
         "sem_seg_head": {
             "pixel_decoder": pixel_decoder_init(k2, cfg.pixel_decoder, in_channels),
-            "predictor": decoder_init(
-                k3, cfg.decoder, cfg.num_classes, cfg.pixel_decoder.conv_dim
-            ),
+            "predictor": _predictor_init(k3, cfg, in_channels),
         },
     }
 
@@ -79,17 +105,45 @@ def maskformer_forward(
     features = backbone_apply(params["backbone"], images, dtype)
     head = params["sem_seg_head"]
     pd_dtype = jnp.bfloat16 if cfg.pixel_decoder_dtype == "bfloat16" else jnp.float32
-    mask_features, _, ms_feats = pixel_decoder_apply(
+    mask_features, enc_feat, ms_feats = pixel_decoder_apply(
         head["pixel_decoder"], cfg.pixel_decoder, features, dtype=pd_dtype
     )
-    return decoder_apply(
-        head["predictor"],
-        cfg.decoder,
-        ms_feats[: cfg.decoder.num_feature_levels],
-        mask_features,
-        compute_dtype=jnp.float32,
-        final_mask_layout=final_mask_layout,
-    )
+
+    name = cfg.decoder.name
+    if name == "MultiScaleMaskedTransformerDecoder":
+        return decoder_apply(
+            head["predictor"],
+            cfg.decoder,
+            ms_feats[: cfg.decoder.num_feature_levels],
+            mask_features,
+            compute_dtype=jnp.float32,
+            final_mask_layout=final_mask_layout,
+        )
+    if name == "MultiScalePerPixelDecoder":
+        from .transformer_decoder import per_pixel_decoder_apply
+
+        return per_pixel_decoder_apply(
+            head["predictor"],
+            cfg.decoder,
+            ms_feats[: cfg.decoder.num_feature_levels],
+            mask_features,
+        )
+    if name in ("SimpleDecoder", "SimpleTransformerDecoder"):
+        from .transformer_decoder import simple_decoder_apply
+
+        return simple_decoder_apply(head["predictor"], cfg.decoder, mask_features)
+    if name == "StandardTransformerDecoder":
+        from .baseline_heads import standard_decoder_apply
+
+        in_feat = cfg.decoder.transformer_in_feature
+        if in_feat == "transformer_encoder":
+            x = enc_feat
+        elif in_feat == "pixel_embedding":
+            x = mask_features
+        else:
+            x = features[in_feat]
+        return standard_decoder_apply(head["predictor"], cfg, x, mask_features)
+    raise NotImplementedError(f"TRANSFORMER_DECODER_NAME {name}")
 
 
 def semantic_inference(

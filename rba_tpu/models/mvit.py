@@ -223,7 +223,10 @@ def mvit_apply(params, cfg: MViTConfig, images: jax.Array, compute_dtype=jnp.bfl
         n = int(math.sqrt(pe.shape[1]))
         pe = pe.reshape(1, n, n, -1)
         if (x.shape[1], x.shape[2]) != (n, n):
-            pe = jax.image.resize(pe, (1, x.shape[1], x.shape[2], pe.shape[-1]), "bicubic")
+            # torch-parity bicubic (a=-0.75, no antialias), as in vit.py
+            from ..ops.resize import resize_bicubic_nhwc
+
+            pe = resize_bicubic_nhwc(pe, (x.shape[1], x.shape[2]))
         x = x + pe.astype(compute_dtype)
 
     sched = _block_schedule(cfg)

@@ -300,11 +300,12 @@ def swin_apply(
         x = layer_norm(pe["norm"], x)
 
     if cfg.ape and "absolute_pos_embed" in params:
-        # bicubic APE resize (reference swin.py:655-659)
+        # bicubic APE resize with torch kernel semantics a=-0.75, no
+        # antialias (reference swin.py:655-659 uses F.interpolate)
+        from ..ops.resize import resize_bicubic_nhwc
+
         ape = params["absolute_pos_embed"]
-        ape = jax.image.resize(
-            ape, (1, x.shape[1], x.shape[2], ape.shape[-1]), method="bicubic"
-        )
+        ape = resize_bicubic_nhwc(ape, (x.shape[1], x.shape[2]))
         x = x + ape.astype(compute_dtype)
 
     # stochastic depth schedule: linear over total depth (reference swin.py:569)

@@ -266,3 +266,210 @@ def decoder_apply(
         ood = conv2d(p["conv"], jax.nn.relu(bn))  # (B, H, W, 2)
         out["ood_pred"] = jnp.transpose(ood, (0, 3, 1, 2))
     return out
+
+
+# ---------------------------------------------------------------------------
+# MultiScalePerPixelDecoder — mask-only (no classification) variant
+# (reference mask2former_transformer_decoder.py:506-746)
+# ---------------------------------------------------------------------------
+
+def per_pixel_decoder_init(key, cfg: DecoderConfig, in_channels: int):
+    """Same layer stack as the masked decoder but mask_classification=False:
+    no class_embed; queries play the role of per-pixel channels."""
+    keys = jax.random.split(key, 8 + 3 * cfg.dec_layers)
+    params: Dict = {
+        "query_feat": jax.random.normal(keys[0], (cfg.num_queries, cfg.hidden_dim)),
+        "query_embed": jax.random.normal(keys[1], (cfg.num_queries, cfg.hidden_dim)),
+        "level_embed": jax.random.normal(keys[2], (cfg.num_feature_levels, cfg.hidden_dim)),
+        "decoder_norm": init_layer_norm(cfg.hidden_dim),
+        "mask_embed": init_mlp(keys[3], cfg.hidden_dim, cfg.hidden_dim, cfg.mask_dim, 3),
+        "cross_layers": [],
+        "self_layers": [],
+        "ffn_layers": [],
+    }
+    if in_channels != cfg.hidden_dim or cfg.enforce_input_project:
+        params["input_proj"] = [
+            init_conv2d(jax.random.fold_in(keys[4], i), 1, 1, in_channels, cfg.hidden_dim)
+            for i in range(cfg.num_feature_levels)
+        ]
+    for i in range(cfg.dec_layers):
+        params["cross_layers"].append(
+            {"attn": init_mha(keys[5 + 3 * i], cfg.hidden_dim), "norm": init_layer_norm(cfg.hidden_dim)}
+        )
+        params["self_layers"].append(
+            {"attn": init_mha(keys[6 + 3 * i], cfg.hidden_dim), "norm": init_layer_norm(cfg.hidden_dim)}
+        )
+        params["ffn_layers"].append(
+            {
+                "linear1": init_linear(jax.random.fold_in(keys[7 + 3 * i], 0), cfg.hidden_dim, cfg.dim_feedforward),
+                "linear2": init_linear(jax.random.fold_in(keys[7 + 3 * i], 1), cfg.dim_feedforward, cfg.hidden_dim),
+                "norm": init_layer_norm(cfg.hidden_dim),
+            }
+        )
+    return params
+
+
+def _mask_prediction_head(params, output, mask_features, attn_target_hw):
+    """Mask-only prediction head (reference :728-740): mask logits + the
+    sigmoid<0.5 attention mask with the fully-blocked-row unmask fix."""
+    dec_out = layer_norm(params["decoder_norm"], output)
+    mask_embed = mlp_apply(params["mask_embed"], dec_out)
+    outputs_mask = jnp.einsum(
+        "bqc,bhwc->bqhw",
+        mask_embed.astype(jnp.float32),
+        mask_features.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    am = resize_bilinear(outputs_mask, attn_target_hw, align_corners=False)
+    blocked = jax.nn.sigmoid(am) < 0.5
+    blocked = blocked.reshape(am.shape[0], am.shape[1], -1)
+    all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
+    blocked = jnp.where(all_blocked, False, blocked)
+    attn_mask = jnp.where(blocked, NEG_INF, 0.0).astype(jnp.float32)
+    return outputs_mask, jax.lax.stop_gradient(attn_mask[:, None, :, :])
+
+
+def per_pixel_decoder_apply(
+    params,
+    cfg: DecoderConfig,
+    x: Sequence[jax.Array],  # multi-scale NHWC features
+    mask_features: jax.Array,  # (B, H/4, W/4, C_mask)
+    compute_dtype=jnp.float32,
+) -> Dict:
+    """Returns {"pred_masks": (B, Q, H/4, W/4), "aux_outputs": [{pred_masks}…]}
+    — no pred_logits (mask_classification=False, reference :568)."""
+    assert len(x) == cfg.num_feature_levels
+    b = x[0].shape[0]
+    c = cfg.hidden_dim
+
+    srcs, poss, sizes = [], [], []
+    for i in range(cfg.num_feature_levels):
+        n, h, w, ci = x[i].shape
+        sizes.append((h, w))
+        pos = sine_pos_embed(h, w, c).reshape(1, h * w, c)
+        poss.append(jnp.broadcast_to(pos, (b, h * w, c)).astype(compute_dtype))
+        feat = x[i].astype(compute_dtype)
+        if "input_proj" in params:
+            feat = conv2d(params["input_proj"][i], feat)
+        src = feat.reshape(b, h * w, c)
+        src = src + params["level_embed"][i].astype(compute_dtype)[None, None, :]
+        srcs.append(src)
+
+    query_embed = jnp.broadcast_to(
+        params["query_embed"][None], (b,) + params["query_embed"].shape
+    ).astype(compute_dtype)
+    output = jnp.broadcast_to(
+        params["query_feat"][None], (b,) + params["query_feat"].shape
+    ).astype(compute_dtype)
+
+    predictions_mask: List[jax.Array] = []
+    outputs_mask, attn_mask = _mask_prediction_head(params, output, mask_features, sizes[0])
+    predictions_mask.append(outputs_mask)
+
+    for i in range(cfg.dec_layers):
+        lvl = i % cfg.num_feature_levels
+        layer = params["cross_layers"][i]
+        y = mha_apply(
+            layer["attn"], output + query_embed, srcs[lvl] + poss[lvl], srcs[lvl],
+            cfg.nheads, attn_mask=attn_mask,
+        )
+        output = layer_norm(layer["norm"], output + y)
+
+        layer = params["self_layers"][i]
+        q = output + query_embed
+        y = mha_apply(layer["attn"], q, q, output, cfg.nheads)
+        output = layer_norm(layer["norm"], output + y)
+
+        layer = params["ffn_layers"][i]
+        y = linear(layer["linear2"], jax.nn.relu(linear(layer["linear1"], output)))
+        output = layer_norm(layer["norm"], output + y)
+
+        outputs_mask, attn_mask = _mask_prediction_head(
+            params, output, mask_features, sizes[(i + 1) % cfg.num_feature_levels]
+        )
+        predictions_mask.append(outputs_mask)
+
+    return {
+        "pred_masks": predictions_mask[-1],
+        "aux_outputs": [{"pred_masks": m} for m in predictions_mask[:-1]],
+    }
+
+
+# ---------------------------------------------------------------------------
+# SimpleTransformerDecoder — one masked cross-attention over mask_features
+# (reference mask2former_transformer_decoder.py:748-947)
+# ---------------------------------------------------------------------------
+
+def simple_decoder_init(key, cfg: DecoderConfig, num_classes: int):
+    keys = jax.random.split(key, 6)
+    return {
+        "query_feat": jax.random.normal(keys[0], (cfg.num_queries, cfg.hidden_dim)),
+        "query_embed": jax.random.normal(keys[1], (cfg.num_queries, cfg.hidden_dim)),
+        "cross_attention": {
+            "attn": init_mha(keys[2], cfg.hidden_dim),
+            "norm": init_layer_norm(cfg.hidden_dim),
+        },
+        "decoder_norm": init_layer_norm(cfg.hidden_dim),
+        "class_embed": init_linear(keys[3], cfg.hidden_dim, num_classes + 1),
+        "mask_embed": init_mlp(keys[4], cfg.hidden_dim, cfg.hidden_dim, cfg.mask_dim, 3),
+    }
+
+
+def simple_decoder_apply(
+    params,
+    cfg: DecoderConfig,
+    mask_features: jax.Array,  # (B, H/4, W/4, C_mask); C_mask == hidden_dim
+    compute_dtype=jnp.float32,
+) -> Dict:
+    """One masked cross-attention of the queries over the stride-4 mask
+    features, then prediction heads.  The reference does NOT apply the
+    fully-blocked-row unmask fix here (:898-904); with our additive mask a
+    fully-blocked row degrades to uniform attention instead of the NaNs the
+    reference's bool mask would produce — the benign reading of the same
+    code.  aux_outputs is empty (predictions are appended only after the
+    cross-attention, :906-918)."""
+    b, h, w, cm = mask_features.shape
+    c = cfg.hidden_dim
+
+    def pred_heads(output):
+        dec_out = layer_norm(params["decoder_norm"], output)
+        cls = linear(params["class_embed"], dec_out)
+        me = mlp_apply(params["mask_embed"], dec_out)
+        masks = jnp.einsum(
+            "bqc,bhwc->bqhw",
+            me.astype(jnp.float32),
+            mask_features.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        am = resize_bilinear(masks, (h, w), align_corners=False)
+        blocked = (jax.nn.sigmoid(am) < 0.5).reshape(b, masks.shape[1], -1)
+        attn_mask = jnp.where(blocked, NEG_INF, 0.0).astype(jnp.float32)
+        return cls, masks, jax.lax.stop_gradient(attn_mask[:, None, :, :])
+
+    query_embed = jnp.broadcast_to(
+        params["query_embed"][None], (b,) + params["query_embed"].shape
+    ).astype(compute_dtype)
+    output = jnp.broadcast_to(
+        params["query_feat"][None], (b,) + params["query_feat"].shape
+    ).astype(compute_dtype)
+
+    _, _, attn_mask = pred_heads(output)
+
+    mf_vec = mask_features.astype(compute_dtype).reshape(b, h * w, cm)
+    mf_pos = jnp.broadcast_to(
+        sine_pos_embed(h, w, c).reshape(1, h * w, c), (b, h * w, c)
+    ).astype(compute_dtype)
+
+    layer = params["cross_attention"]
+    y = mha_apply(
+        layer["attn"], output + query_embed, mf_vec + mf_pos, mf_vec,
+        cfg.nheads, attn_mask=attn_mask,
+    )
+    output = layer_norm(layer["norm"], output + y)
+
+    outputs_class, outputs_mask, _ = pred_heads(output)
+    return {
+        "pred_logits": outputs_class,
+        "pred_masks": outputs_mask,
+        "aux_outputs": [],
+    }

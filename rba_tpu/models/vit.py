@@ -180,9 +180,11 @@ def vit_apply(params, cfg: ViTConfig, images: jax.Array, compute_dtype=jnp.bfloa
         n = int(math.sqrt(pe.shape[1]))
         pe = pe.reshape(1, n, n, -1)
         if (x.shape[1], x.shape[2]) != (n, n):
-            pe = jax.image.resize(
-                pe, (1, x.shape[1], x.shape[2], pe.shape[-1]), method="bicubic"
-            )
+            # torch-parity bicubic (a=-0.75, no antialias) — get_abs_pos
+            # in the reference backbone/utils.py uses F.interpolate
+            from ..ops.resize import resize_bicubic_nhwc
+
+            pe = resize_bicubic_nhwc(pe, (x.shape[1], x.shape[2]))
         x = x + pe.astype(compute_dtype)
     for i, blk in enumerate(params["blocks"]):
         ws = cfg.window_size if i in cfg.window_block_indexes else 0

@@ -55,7 +55,7 @@ def _bn_relu(p, x):
 
 def _init_block(key, in_ch: int, channels: Sequence[int], stride: int):
     keys = jax.random.split(key, 4)
-    p: Dict = {"bn1": _init_bn(in_ch), "channels": None}
+    p: Dict = {"bn1": _init_bn(in_ch)}
     if len(channels) == 2:
         p["conv1"] = init_conv2d(keys[0], 3, 3, in_ch, channels[0], bias=False)
         p["bn2"] = _init_bn(channels[0])

@@ -91,7 +91,8 @@ int rba_exact_ood_metrics(const float* scores, const int32_t* labels,
     const double fpr = fp / n_total;
     const double tpr = recall;
     auroc += (fpr - prev_fpr) * (tpr + prev_tpr) * 0.5;  // trapezoid
-    if (!fpr95_set && tpr >= 0.95) {
+    // first tpr strictly > 0.95 (reference support.py:252-255)
+    if (!fpr95_set && tpr > 0.95) {
       fpr95 = fpr;
       fpr95_set = true;
     }

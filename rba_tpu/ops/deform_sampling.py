@@ -12,10 +12,12 @@ attention weight, and sum over levels × points.
 TPU design: irregular fp-coordinate gathers are hostile to the MXU, so we
 express the bilinear sample as four integer gathers + a lerp, batched over
 (query, head, level, point) with static shapes.  Gradients come free via JAX
-autodiff (the reference needed ~620 LoC of handwritten CUDA backward).  A
-fused Pallas kernel lives in ``rba_tpu/ops/pallas/deform_attn.py`` for the
-multi-level hot path; this jnp version is the reference/bench fallback and is
-already fast at the released 1-level eval configs (Len_q = 32×64).
+autodiff (the reference needed ~620 LoC of handwritten CUDA backward).  This
+jnp formulation is the production path: XLA fuses the gathers+lerp into a
+handful of custom fusions, and at the released 1-level eval configs
+(Len_q = 32×64) the op is far off the critical path (~5 ms of a ~59 ms
+forward; see TODO.md perf notes for the possible Pallas VMEM-resident
+follow-up).
 """
 from __future__ import annotations
 

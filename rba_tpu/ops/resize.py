@@ -84,6 +84,87 @@ def resize_bilinear(
     return y.astype(x.dtype) if dtype is None else y
 
 
+@functools.lru_cache(maxsize=256)
+def _cubic_coeffs(in_size: int, out_size: int, align_corners: bool):
+    """Per output index: 4 neighbor indices + weights with torch
+    ``F.interpolate(mode="bicubic", antialias=False)`` semantics: Keys cubic
+    convolution kernel with a = -0.75 (torch's UpSampleKernel), neighbor
+    indices clamped to the border (replicate)."""
+    a = -0.75
+    dst = np.arange(out_size, dtype=np.float64)
+    if in_size == 1:
+        idx = np.zeros((out_size, 4), np.int32)
+        w = np.zeros((out_size, 4), np.float64)
+        w[:, 1] = 1.0
+        return idx, w.astype(np.float32)
+    if align_corners:
+        src = np.zeros_like(dst) if out_size == 1 else dst * (in_size - 1) / (out_size - 1)
+    else:
+        src = (dst + 0.5) * (in_size / out_size) - 0.5
+    base = np.floor(src).astype(np.int64)
+    t = src - base  # in [0, 1)
+
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0,
+            ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+            np.where(x < 2.0, ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a, 0.0),
+        )
+
+    offs = np.arange(-1, 3)
+    w = k(t[:, None] - offs[None, :])  # (out, 4)
+    idx = np.clip(base[:, None] + offs[None, :], 0, in_size - 1).astype(np.int32)
+    return idx, w.astype(np.float32)
+
+
+def _interp_axis_cubic(y, axis, in_size, out_size, align_corners):
+    idx, w = _cubic_coeffs(in_size, out_size, align_corners)
+    shape = [1] * y.ndim
+    shape[axis] = out_size
+    acc = None
+    for j in range(4):
+        tap = jnp.take(y, jnp.asarray(idx[:, j]), axis=axis)
+        wj = jnp.asarray(w[:, j]).reshape(shape)
+        acc = tap * wj if acc is None else acc + tap * wj
+    return acc
+
+
+def resize_bicubic(
+    x: jax.Array, out_hw: Tuple[int, int], align_corners: bool = False
+) -> jax.Array:
+    """Resize the last two axes (…, H, W) with exact torch bicubic semantics
+    (a = -0.75, antialias=False) — unlike ``jax.image.resize(\"bicubic\")``,
+    which uses the Keys a = -0.5 kernel with antialiasing.  Used for
+    position-embedding resizing (reference swin.py:610, vit/mvit
+    ``get_abs_pos``) where the convention affects numeric parity."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    compute_dtype = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    y = x.astype(compute_dtype)
+    y = _interp_axis_cubic(y, x.ndim - 2, h_in, h_out, align_corners)
+    y = _interp_axis_cubic(y, x.ndim - 1, w_in, w_out, align_corners)
+    return y.astype(x.dtype)
+
+
+def resize_bicubic_nhwc(
+    x: jax.Array, out_hw: Tuple[int, int], align_corners: bool = False
+) -> jax.Array:
+    """Torch-parity bicubic on the H/W axes of (N, H, W, C) — for APE /
+    position-embedding resizing in the NHWC backbones."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    compute_dtype = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    y = x.astype(compute_dtype)
+    y = _interp_axis_cubic(y, 1, h_in, h_out, align_corners)
+    y = _interp_axis_cubic(y, 2, w_in, w_out, align_corners)
+    return y.astype(x.dtype)
+
+
 def resize_bilinear_nhwc(
     x: jax.Array, out_hw: Tuple[int, int], align_corners: bool = False
 ) -> jax.Array:

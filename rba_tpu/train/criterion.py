@@ -179,13 +179,25 @@ def smoothness_loss(cfg: RbAConfig, pred_logits, pred_masks):
 
 
 def sparsity_loss(cfg: RbAConfig, pred_logits, pred_masks, outlier_masks):
-    """L2 norm of the score restricted to OOD pixels (criterion.py:283-321)."""
+    """L2 norm of the score vector over OOD pixels (criterion.py:283-321).
+
+    The reference computes torch.norm(score[ood_mask], dim=0) — the L2 norm
+    of the flattened OOD-pixel scores (its outer mean() is a no-op on the
+    resulting scalar) — so the value grows ~sqrt(N_ood)."""
     logits = _semantic_logits(pred_logits, pred_masks)
-    score = -logits.sum(axis=1)
+    sc = cfg.ood.smoothness_score
+    if sc == "nls" or sc == "none":
+        score = -logits.sum(axis=1)
+    elif sc == "energy":
+        score = -jax.nn.logsumexp(logits, axis=1)
+    else:  # reference falls through to softmax entropy via outlier_loss_target
+        p = jax.nn.softmax(logits, axis=1)
+        score = jnp.sum(-p * jnp.log(jnp.clip(p, 1e-20)), axis=1)
     score = resize_bilinear(score[:, None], outlier_masks.shape[-2:], align_corners=True)[:, 0]
     ood = (outlier_masks == 1).astype(jnp.float32)
-    # reference: mean over per-pixel |score| of OOD pixels
-    return _masked_mean(jnp.abs(score), ood)
+    sq = jnp.sum((score * ood) ** 2)
+    # safe sqrt: zero OOD pixels -> 0 with a finite gradient
+    return jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
 
 
 def _gaussian_blur_2d(x, ksize=7, sigma=1.0):
@@ -226,7 +238,9 @@ def gambler_loss(cfg: RbAConfig, pred_logits, pred_masks, outlier_masks, sem_seg
     loss_in = -_masked_mean(g_in, in_mask.astype(jnp.float32))
 
     boost = jnp.log(jnp.clip(true_pred + reservation[:, None], 1e-7))
-    loss_out = -cfg.ood.gambler_weight * 0.1 * _masked_mean(
+    # independent PEBAL_OOD_REG coefficient (reference criterion.py:368);
+    # criterion() separately multiplies the whole loss by gambler_weight
+    loss_out = -cfg.ood.ood_reg * _masked_mean(
         boost, jnp.broadcast_to(ood[:, None], boost.shape).astype(jnp.float32)
     )
     has_ood = jnp.sum(ood) > 0
@@ -247,16 +261,21 @@ def densehybrid_loss(cfg: RbAConfig, pred_logits, pred_masks, ood_pred, outlier_
 
     label_ood = (sem_seg == 254).astype(jnp.float32)
     lse = jax.nn.logsumexp(logits, axis=1) * label_ood
-    loss_ood = jnp.sum(lse) / jnp.maximum(jnp.sum(label_ood), 1.0)
+    # detached moving-average regulariser (reference get_batch_avg :93-97,
+    # added via reg.detach() at :423): shifts the value, not the gradient
+    reg = -jax.lax.stop_gradient(jnp.mean(logits)) * label_ood
+    loss_ood = jnp.sum(lse + reg) / jnp.maximum(jnp.sum(label_ood), 1.0)
 
     labels = jnp.where((sem_seg == 255) | (sem_seg == 254), k, sem_seg).astype(jnp.int32)
     valid = (labels < k).astype(jnp.float32)
     nll = -jnp.take_along_axis(cls_logp, jnp.clip(labels, 0, k - 1)[:, None], axis=1)[:, 0]
     loss_seg = _masked_mean(nll, valid)
 
-    th_valid = (outlier_masks != 255).astype(jnp.float32)
+    # the reference's F.nll_loss(ood_out, label_ood, ignore_index=2) never
+    # ignores anything (the 255->2 remap is commented out, criterion.py:428-429)
+    # so loss_th averages over ALL pixels, ignore regions included
     nll_th = -jnp.take_along_axis(ood_logp, label_ood.astype(jnp.int32)[:, None], axis=1)[:, 0]
-    loss_th = _masked_mean(nll_th, th_valid)
+    loss_th = jnp.mean(nll_th)
 
     beta = cfg.ood.densehybrid_beta
     return loss_seg + beta * loss_ood + beta * 10.0 * loss_th

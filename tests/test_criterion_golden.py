@@ -88,8 +88,9 @@ def test_sparsity_loss_matches_torch(rng):
     score = F.interpolate(score.unsqueeze(1), size=(16, 20), mode="bilinear",
                           align_corners=True).squeeze(1)
     ood = torch.from_numpy(om) == 1
-    # reference: mean of per-element norms over OOD pixels (scalar elems → abs)
-    want = score[ood].abs().mean()
+    # reference criterion.py:318: torch.norm over the flattened OOD pixels
+    # (dim=0 of a 1-D tensor), whose outer mean() is a no-op on the scalar
+    want = torch.norm(score[ood], dim=0).mean()
     np.testing.assert_allclose(got, float(want), rtol=1e-4)
 
 
@@ -138,7 +139,7 @@ def test_gambler_loss_matches_torch(rng):
     boost = torch.clamp(
         true_pred + reservation.unsqueeze(1), min=1e-7
     ).log()[ood_mask.unsqueeze(1).repeat(1, k, 1, 1)]
-    g_out = cfg.ood.gambler_weight * 0.1 * boost
+    g_out = cfg.ood.ood_reg * boost
     labels[void_mask] = 0
     labels[ood_mask] = 0
     g_in = torch.gather(true_pred, index=labels.unsqueeze(1), dim=1).squeeze(1)
@@ -177,7 +178,9 @@ def test_densehybrid_loss_matches_torch(rng):
     label_ood = torch.zeros_like(labels)
     label_ood[labels == 254] = 1
     lse = torch.logsumexp(logits, dim=1) * label_ood
-    loss_ood = lse.sum() / label_ood[label_ood == 1].numel()
+    # get_batch_avg (criterion.py:93-97), added detached at :423
+    reg = -logits.mean(1).mean().view(1, 1, 1).repeat(*labels.shape) * label_ood
+    loss_ood = (lse + reg.detach()).sum() / label_ood[label_ood == 1].numel()
     labels[labels == 255] = k
     labels[labels == 254] = k
     loss_seg = F.nll_loss(cls_out, labels, ignore_index=k)

@@ -17,7 +17,9 @@ def _sklearn_metrics(scores, labels):
     mask = labels != 255
     s, y = scores[mask], (labels[mask] == 1).astype(int)
     fpr, tpr, _ = roc_curve(y, s)
-    k = np.searchsorted(tpr, 0.95, side="left")
+    # reference support.py:252-255 loops the ROC points and breaks at the
+    # first tpr strictly > 0.95
+    k = np.searchsorted(tpr, 0.95, side="right")
     return {
         "AUPRC": average_precision_score(y, s),
         "AUROC": roc_auc_score(y, s),
@@ -50,6 +52,37 @@ def test_streaming_histogram_close_to_sklearn(rng):
     want = _sklearn_metrics(scores, labels)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=2e-3, err_msg=k)
+
+
+def test_fpr95_tie_matches_reference_loop():
+    """An ROC point landing exactly on tpr == 0.95 must be skipped (the
+    reference breaks only on tpr > 0.95)."""
+    # 19 high-scoring positives put tpr exactly at 0.95 with fpr = 0; all
+    # negatives rank next; the 20th positive ranks last.  "first tpr >= .95"
+    # would report fpr = 0, the reference's "first tpr > .95" reports 1.0.
+    scores = np.concatenate(
+        [np.linspace(20, 30, 19), [5.0], np.linspace(8, 15, 80)]
+    )
+    labels = np.concatenate([np.ones(20, np.int64), np.zeros(80, np.int64)])
+    want = _sklearn_metrics(scores, labels)
+    assert want["FPR@95TPR"] == 1.0  # the discriminating case
+
+    got = exact_ood_metrics(scores, labels)
+    np.testing.assert_allclose(got["FPR@95TPR"], want["FPR@95TPR"], atol=1e-12)
+
+    m = StreamingOODMetrics()
+    m.update(jnp.asarray(scores), jnp.asarray(labels))
+    np.testing.assert_allclose(m.compute()["FPR@95TPR"], want["FPR@95TPR"], atol=1e-9)
+
+
+def test_streaming_clip_detection(rng):
+    m = StreamingOODMetrics(score_range=(-4.0, 4.0))
+    scores = np.array([0.0, 1.0, 100.0])  # out of range
+    labels = np.array([0, 1, 1])
+    m.update(jnp.asarray(scores), jnp.asarray(labels))
+    assert m.clipped
+    with pytest.warns(UserWarning, match="exceed the histogram range"):
+        m.compute()
 
 
 def test_streaming_respects_ignore(rng):

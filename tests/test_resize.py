@@ -5,7 +5,12 @@ import torch.nn.functional as F
 
 import jax.numpy as jnp
 
-from rba_tpu.ops.resize import resize_bilinear, resize_bilinear_nhwc
+from rba_tpu.ops.resize import (
+    resize_bicubic,
+    resize_bicubic_nhwc,
+    resize_bilinear,
+    resize_bilinear_nhwc,
+)
 
 
 @pytest.mark.parametrize("align_corners", [False, True])
@@ -43,6 +48,39 @@ def test_resize_nhwc_matches_torch(rng):
     )
     got = np.asarray(resize_bilinear_nhwc(jnp.asarray(x), (34, 46)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((14, 14), (32, 64)),  # APE upsample (pretrain grid -> feature grid)
+        ((23, 23), (7, 9)),  # downsample
+        ((5, 5), (5, 5)),  # identity
+        ((1, 6), (3, 12)),  # degenerate row
+    ],
+)
+def test_bicubic_matches_torch(align_corners, in_hw, out_hw, rng):
+    x = rng.randn(2, 3, *in_hw).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x), size=out_hw, mode="bicubic", align_corners=align_corners
+    ).numpy()
+    got = np.asarray(resize_bicubic(jnp.asarray(x), out_hw, align_corners=align_corners))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bicubic_nhwc_matches_torch(rng):
+    x = rng.randn(1, 14, 14, 8).astype(np.float32)
+    want = (
+        F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(20, 36), mode="bicubic",
+            align_corners=False,
+        )
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    got = np.asarray(resize_bicubic_nhwc(jnp.asarray(x), (20, 36)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_sine_pos_embed_matches_reference_formula(rng):

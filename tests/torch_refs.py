@@ -387,3 +387,127 @@ class TorchPixelDecoderMini(nn.Module):
         up = F.interpolate(enc, size=lat.shape[-2:], mode="bilinear", align_corners=False)
         fpn = F.relu(self.out_gn(self.out_conv(lat + up)))
         return self.mask_features(fpn), enc
+
+
+# ---------------------------------------------------------------------------
+# Decoder variants: per-pixel (mask-only) and simple (1 cross-attn) decoders
+# ---------------------------------------------------------------------------
+
+class TorchPerPixelDecoder(nn.Module):
+    """MultiScalePerPixelDecoder semantics: the masked-attention decoder
+    stack with mask_classification=False (no class head, mask-only deep
+    supervision)."""
+
+    def __init__(self, hidden_dim, nheads, dim_ff, num_layers, num_queries,
+                 mask_dim, num_levels=1):
+        super().__init__()
+        self.nheads = nheads
+        self.num_layers = num_layers
+        self.num_levels = num_levels
+        self.query_feat = nn.Embedding(num_queries, hidden_dim)
+        self.query_embed = nn.Embedding(num_queries, hidden_dim)
+        self.level_embed = nn.Embedding(num_levels, hidden_dim)
+        self.cross_attn = nn.ModuleList(
+            [nn.MultiheadAttention(hidden_dim, nheads) for _ in range(num_layers)])
+        self.cross_norm = nn.ModuleList([nn.LayerNorm(hidden_dim) for _ in range(num_layers)])
+        self.self_attn = nn.ModuleList(
+            [nn.MultiheadAttention(hidden_dim, nheads) for _ in range(num_layers)])
+        self.self_norm = nn.ModuleList([nn.LayerNorm(hidden_dim) for _ in range(num_layers)])
+        self.ffn1 = nn.ModuleList([nn.Linear(hidden_dim, dim_ff) for _ in range(num_layers)])
+        self.ffn2 = nn.ModuleList([nn.Linear(dim_ff, hidden_dim) for _ in range(num_layers)])
+        self.ffn_norm = nn.ModuleList([nn.LayerNorm(hidden_dim) for _ in range(num_layers)])
+        self.decoder_norm = nn.LayerNorm(hidden_dim)
+        self.mask_mlp = nn.ModuleList([
+            nn.Linear(hidden_dim, hidden_dim), nn.Linear(hidden_dim, hidden_dim),
+            nn.Linear(hidden_dim, mask_dim)])
+
+    def mask_embed(self, x):
+        x = F.relu(self.mask_mlp[0](x))
+        x = F.relu(self.mask_mlp[1](x))
+        return self.mask_mlp[2](x)
+
+    def pred_heads(self, output, mask_features, size):
+        dec = self.decoder_norm(output).transpose(0, 1)
+        me = self.mask_embed(dec)
+        masks = torch.einsum("bqc,bchw->bqhw", me, mask_features)
+        am = F.interpolate(masks, size=size, mode="bilinear", align_corners=False)
+        am = (am.sigmoid().flatten(2).unsqueeze(1).repeat(1, self.nheads, 1, 1)
+              .flatten(0, 1) < 0.5).bool().detach()
+        return masks, am
+
+    def forward(self, feats, pos_embeds, mask_features):
+        srcs, poss, sizes = [], [], []
+        for i, (f, pe) in enumerate(zip(feats, pos_embeds)):
+            sizes.append(f.shape[-2:])
+            poss.append(pe.flatten(2).permute(2, 0, 1))
+            srcs.append(f.flatten(2).permute(2, 0, 1) + self.level_embed.weight[i][None, None])
+        bs = feats[0].shape[0]
+        qe = self.query_embed.weight.unsqueeze(1).repeat(1, bs, 1)
+        out = self.query_feat.weight.unsqueeze(1).repeat(1, bs, 1)
+        mask_list = []
+        masks, am = self.pred_heads(out, mask_features, sizes[0])
+        mask_list.append(masks)
+        for i in range(self.num_layers):
+            lvl = i % self.num_levels
+            am[torch.where(am.sum(-1) == am.shape[-1])] = False
+            y = self.cross_attn[i](query=out + qe, key=srcs[lvl] + poss[lvl],
+                                   value=srcs[lvl], attn_mask=am)[0]
+            out = self.cross_norm[i](out + y)
+            q = out + qe
+            y = self.self_attn[i](query=q, key=q, value=out)[0]
+            out = self.self_norm[i](out + y)
+            y = self.ffn2[i](F.relu(self.ffn1[i](out)))
+            out = self.ffn_norm[i](out + y)
+            masks, am = self.pred_heads(out, mask_features, sizes[(i + 1) % self.num_levels])
+            mask_list.append(masks)
+        return mask_list
+
+
+class TorchSimpleDecoder(nn.Module):
+    """SimpleTransformerDecoder semantics: one masked cross-attention of the
+    queries over the stride-4 mask features, prediction heads before/after;
+    no fully-blocked-row fix, empty aux outputs."""
+
+    def __init__(self, hidden_dim, nheads, num_queries, num_classes, mask_dim):
+        super().__init__()
+        self.nheads = nheads
+        self.query_feat = nn.Embedding(num_queries, hidden_dim)
+        self.query_embed = nn.Embedding(num_queries, hidden_dim)
+        self.cross_attn = nn.MultiheadAttention(hidden_dim, nheads)
+        self.cross_norm = nn.LayerNorm(hidden_dim)
+        self.decoder_norm = nn.LayerNorm(hidden_dim)
+        self.class_embed = nn.Linear(hidden_dim, num_classes + 1)
+        self.mask_mlp = nn.ModuleList([
+            nn.Linear(hidden_dim, hidden_dim), nn.Linear(hidden_dim, hidden_dim),
+            nn.Linear(hidden_dim, mask_dim)])
+
+    def mask_embed(self, x):
+        x = F.relu(self.mask_mlp[0](x))
+        x = F.relu(self.mask_mlp[1](x))
+        return self.mask_mlp[2](x)
+
+    def pred_heads(self, output, mask_features, size):
+        dec = self.decoder_norm(output).transpose(0, 1)
+        cls = self.class_embed(dec)
+        me = self.mask_embed(dec)
+        masks = torch.einsum("bqc,bchw->bqhw", me, mask_features)
+        am = F.interpolate(masks, size=size, mode="bilinear", align_corners=False)
+        am = (am.sigmoid().flatten(2).unsqueeze(1).repeat(1, self.nheads, 1, 1)
+              .flatten(0, 1) < 0.5).bool().detach()
+        return cls, masks, am
+
+    def forward(self, mask_features, pos):
+        bs = mask_features.shape[0]
+        size = mask_features.shape[-2:]
+        qe = self.query_embed.weight.unsqueeze(1).repeat(1, bs, 1)
+        out = self.query_feat.weight.unsqueeze(1).repeat(1, bs, 1)
+        _, _, am = self.pred_heads(out, mask_features, size)
+        assert not (am.sum(-1) == am.shape[-1]).any(), \
+            "test input produced a fully-blocked row (reference would NaN)"
+        mf_vec = mask_features.flatten(2).permute(2, 0, 1)
+        mf_pos = pos.flatten(2).permute(2, 0, 1)
+        y = self.cross_attn(query=out + qe, key=mf_vec + mf_pos,
+                            value=mf_vec, attn_mask=am)[0]
+        out = self.cross_norm(out + y)
+        cls, masks, _ = self.pred_heads(out, mask_features, size)
+        return cls, masks
