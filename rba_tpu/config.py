@@ -109,6 +109,27 @@ class DecoderConfig:
 
 
 @dataclass(frozen=True)
+class ResNetConfig:
+    """Detectron2-style ResNet (cfg.MODEL.RESNETS) — the default backbone of
+    the reference's R50/R101 configs (Base-*.yaml: build_resnet_backbone)."""
+
+    depth: int = 50
+    stem_out_channels: int = 64
+    stride_in_1x1: bool = False  # torchvision convention in all ref configs
+    out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    norm: str = "SyncBN"
+
+    @property
+    def stage_blocks(self) -> Tuple[int, ...]:
+        return {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.depth]
+
+    @property
+    def out_channels(self) -> Dict[str, int]:
+        return {f"res{i + 2}": 256 * 2**i for i in range(4)}
+
+
+@dataclass(frozen=True)
 class TestConfig:
     semantic_on: bool = True
     panoptic_on: bool = False
@@ -205,6 +226,7 @@ class RbAConfig:
 
     backbone_name: str = "swin"
     swin: SwinConfig = field(default_factory=SwinConfig)
+    resnet: ResNetConfig = field(default_factory=ResNetConfig)
     pixel_decoder: PixelDecoderConfig = field(default_factory=PixelDecoderConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     test: TestConfig = field(default_factory=TestConfig)
@@ -235,6 +257,78 @@ def _get(d: Dict[str, Any], path: str, default=None):
     return cur
 
 
+# ---------------------------------------------------------------------------
+# Detectron2 YAML compatibility: _BASE_ inheritance + the !!python eval tag
+# (reference train_net.py:352-366 merges via CfgNode.merge_from_file, which
+# supports relative _BASE_ chains and the
+# ``!!python/object/apply:eval`` construct used by
+# configs/**/Base-*.yaml for MIN_SIZE_TRAIN)
+# ---------------------------------------------------------------------------
+
+class _D2YamlLoader(yaml.SafeLoader):
+    pass
+
+
+def _eval_constructor(loader, node):
+    (expr,) = loader.construct_sequence(node)
+    # the corpus only uses range/int arithmetic; no builtins beyond these
+    return eval(expr, {"__builtins__": {}}, {"range": range, "int": int, "float": float})
+
+
+_D2YamlLoader.add_constructor(
+    "tag:yaml.org,2002:python/object/apply:eval", _eval_constructor
+)
+
+
+def _deep_merge(base: Dict, child: Dict) -> Dict:
+    out = dict(base)
+    for k, v in child.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_yaml_with_base(path: str) -> Dict[str, Any]:
+    """Load a D2 YAML, following relative ``_BASE_`` chains and deep-merging
+    the child over its base (child wins)."""
+    import os
+
+    with open(path) as f:
+        raw = yaml.load(f, Loader=_D2YamlLoader) or {}
+    base_rel = raw.pop("_BASE_", None)
+    if base_rel:
+        base_path = base_rel if os.path.isabs(base_rel) else os.path.join(
+            os.path.dirname(os.path.abspath(path)), base_rel
+        )
+        raw = _deep_merge(load_yaml_with_base(base_path), raw)
+    return raw
+
+
+# config feature names → our backbone output keys: the MiT backbone's
+# stage1..4 (reference mix_transformer.py forward) are emitted as res2..res5
+_FEATURE_ALIASES = {"stage1": "res2", "stage2": "res3", "stage3": "res4", "stage4": "res5"}
+
+
+def _features(names) -> Tuple[str, ...]:
+    return tuple(_FEATURE_ALIASES.get(n, n) for n in names)
+
+
+def _int(v, default: int) -> int:
+    """Tolerant int coercion: the reference corpus contains a literal typo
+    (wideresnet 1dl config ``DEC_LAYERS: 2z``) that YAML reads as a string —
+    take the leading integer rather than refusing the whole config."""
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return int(v)
+    import re as _re
+
+    m = _re.match(r"\s*(-?\d+)", str(v))
+    return int(m.group(1)) if m else default
+
+
 def load_d2_config(path: str, **overrides) -> RbAConfig:
     """Ingest a frozen Detectron2 ``config.yaml`` from the reference release.
 
@@ -242,8 +336,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
     of the (enormous) D2 schema is ignored.  See
     /root/reference/ckpts/swin_b_1dl/config.yaml for an example input.
     """
-    with open(path) as f:
-        raw = yaml.safe_load(f)
+    raw = load_yaml_with_base(path)
 
     model = raw.get("MODEL", {})
     swin_raw = model.get("SWIN", {})
@@ -258,9 +351,15 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         "D2ViT": "vit",
         "D2MViT": "mvit",
         "build_wideresnet38_backbone": "wideresnet38",
+        "build_wideresnet_backbone": "wideresnet38",
+        "WiderResNetA2": "wideresnet38",
+        "WiderResNet38A2": "wideresnet38",
+        "build_resnet_backbone": "resnet",
+        "build_resnet_deeplab_backbone": "resnet",
     }.get(_get(model, "BACKBONE.NAME", "D2SwinTransformer"), "swin")
-    if str(_get(model, "BACKBONE.NAME", "")).startswith("mit"):
-        backbone = "mix_transformer"
+    name_raw = str(_get(model, "BACKBONE.NAME", ""))
+    if name_raw.startswith("mit"):
+        backbone = name_raw  # keep the variant (mit_b0..mit_b5)
 
     swin = SwinConfig(
         patch_size=swin_raw.get("PATCH_SIZE", 4),
@@ -279,14 +378,23 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         use_checkpoint=swin_raw.get("USE_CHECKPOINT", False),
     )
 
+    resnet_raw = model.get("RESNETS", {})
+    resnet = ResNetConfig(
+        depth=resnet_raw.get("DEPTH", 50),
+        stem_out_channels=resnet_raw.get("STEM_OUT_CHANNELS", 64),
+        stride_in_1x1=resnet_raw.get("STRIDE_IN_1X1", False),
+        out_features=tuple(resnet_raw.get("OUT_FEATURES", ("res2", "res3", "res4", "res5"))),
+        norm=resnet_raw.get("NORM", "SyncBN"),
+    )
+
     pixel_decoder = PixelDecoderConfig(
         conv_dim=head.get("CONVS_DIM", 256),
         mask_dim=head.get("MASK_DIM", 256),
         norm=head.get("NORM", "GN"),
-        transformer_in_features=tuple(
+        transformer_in_features=_features(
             head.get("DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES", ("res5",))
         ),
-        in_features=tuple(head.get("IN_FEATURES", ("res2", "res3", "res4", "res5"))),
+        in_features=_features(head.get("IN_FEATURES", ("res2", "res3", "res4", "res5"))),
         transformer_enc_layers=head.get("TRANSFORMER_ENC_LAYERS", 6),
         transformer_nheads=mf.get("NHEADS", 8),
         enc_n_points=head.get("DEFORMABLE_TRANSFORMER_ENCODER_N_POINTS", 4),
@@ -298,7 +406,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         num_queries=mf.get("NUM_OBJECT_QUERIES", 100),
         nheads=mf.get("NHEADS", 8),
         dim_feedforward=mf.get("DIM_FEEDFORWARD", 2048),
-        dec_layers=max(mf.get("DEC_LAYERS", 2) - 1, 1),
+        dec_layers=max(_int(mf.get("DEC_LAYERS", 2), 2) - 1, 1),
         pre_norm=mf.get("PRE_NORM", False),
         mask_dim=head.get("MASK_DIM", 256),
         enforce_input_project=mf.get("ENFORCE_INPUT_PROJ", False),
@@ -398,6 +506,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
     cfg = RbAConfig(
         backbone_name=backbone,
         swin=swin,
+        resnet=resnet,
         pixel_decoder=pixel_decoder,
         decoder=decoder,
         test=test_cfg,
@@ -407,6 +516,69 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         solver=solver_cfg,
         num_classes=head.get("NUM_CLASSES", 19),
     )
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Native config serialization: compact YAML of non-default fields.  The
+# shipped configs/ corpus is the reference corpus translated to this format
+# (one flat section per sub-config), loadable with load_config().
+# ---------------------------------------------------------------------------
+
+def config_to_dict(cfg: RbAConfig) -> Dict[str, Any]:
+    """RbAConfig → nested dict containing only non-default values."""
+    default = RbAConfig()
+
+    def diff(obj, ref):
+        out = {}
+        for f in dataclasses.fields(obj):
+            v, r = getattr(obj, f.name), getattr(ref, f.name)
+            if dataclasses.is_dataclass(v):
+                sub = diff(v, r)
+                if sub:
+                    out[f.name] = sub
+            elif v != r:
+                out[f.name] = list(v) if isinstance(v, tuple) else v
+        return out
+
+    return diff(cfg, default)
+
+
+def config_from_dict(d: Dict[str, Any]) -> RbAConfig:
+    """Inverse of config_to_dict (missing keys keep dataclass defaults)."""
+
+    def build(cls, sub: Dict[str, Any]):
+        kwargs = {}
+        hints = {f.name: f for f in dataclasses.fields(cls)}
+        for k, v in sub.items():
+            f = hints[k]
+            if isinstance(v, dict):
+                base = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default
+                kwargs[k] = build(type(base), v)
+            elif isinstance(v, list):
+                kwargs[k] = tuple(v)
+            else:
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    return build(RbAConfig, d)
+
+
+def save_config(path: str, cfg: RbAConfig) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(config_to_dict(cfg), f, sort_keys=True)
+
+
+def load_config(path: str, **overrides) -> RbAConfig:
+    """Load either a native rba-tpu YAML (config_to_dict format) or a
+    Detectron2 YAML (detected by its MODEL section / _BASE_ chain)."""
+    with open(path) as f:
+        raw = yaml.load(f, Loader=_D2YamlLoader) or {}
+    if "MODEL" in raw or "_BASE_" in raw:
+        return load_d2_config(path, **overrides)
+    cfg = config_from_dict(raw)
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg

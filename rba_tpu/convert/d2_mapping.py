@@ -325,6 +325,62 @@ def convert_wideresnet_backbone(sd: Dict[str, np.ndarray]) -> Dict:
     return p
 
 
+def convert_resnet_backbone(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
+    """D2 ResNet ``backbone.*`` keys (stem.conv1(.norm), res{2..5}.{b}.conv{1..3}
+    (.norm), res*.0.shortcut(.norm)) → resnet param tree.  The D2 layout is
+    what DetectionCheckpointer loads; torchvision .pth files are first mapped
+    by rba_tpu.tools.convert_checkpoint (reference tools/convert-torchvision-to-d2.py)."""
+    p: Dict = {
+        "stem": {
+            "conv1": {"kernel": _conv(sd["backbone.stem.conv1.weight"])},
+            "norm1": _bn(sd, "backbone.stem.conv1.norm"),
+        }
+    }
+    for stage, n_blocks in enumerate(cfg.resnet.stage_blocks):
+        name = f"res{stage + 2}"
+        blocks: List[Dict] = []
+        for b in range(n_blocks):
+            pre = f"backbone.{name}.{b}"
+            blk: Dict = {
+                "conv1": {"kernel": _conv(sd[pre + ".conv1.weight"])},
+                "norm1": _bn(sd, pre + ".conv1.norm"),
+                "conv2": {"kernel": _conv(sd[pre + ".conv2.weight"])},
+                "norm2": _bn(sd, pre + ".conv2.norm"),
+                "conv3": {"kernel": _conv(sd[pre + ".conv3.weight"])},
+                "norm3": _bn(sd, pre + ".conv3.norm"),
+            }
+            if pre + ".shortcut.weight" in sd:
+                blk["shortcut"] = {"kernel": _conv(sd[pre + ".shortcut.weight"])}
+                blk["shortcut_norm"] = _bn(sd, pre + ".shortcut.norm")
+            blocks.append(blk)
+        p[name] = blocks
+    return p
+
+
+def torchvision_resnet_to_d2(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torchvision ResNet state-dict names → D2 names, the same mapping the
+    reference's tools/convert-torchvision-to-d2.py performs offline."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("fc."):
+            continue
+        nk = k
+        if nk.startswith("conv1."):
+            nk = nk.replace("conv1.", "stem.conv1.")
+        if nk.startswith("bn1."):
+            nk = nk.replace("bn1.", "stem.conv1.norm.")
+        for layer in range(1, 5):
+            nk = nk.replace(f"layer{layer}.", f"res{layer + 1}.")
+        # block-internal: bn{k}. -> conv{k}.norm. ; downsample 0/1 -> shortcut
+        nk = re.sub(r"\.bn(\d)\.", r".conv\1.norm.", nk)
+        nk = nk.replace(".downsample.0.", ".shortcut.")
+        nk = nk.replace(".downsample.1.", ".shortcut.norm.")
+        if "num_batches_tracked" in nk:
+            continue
+        out["backbone." + nk] = np.asarray(v)
+    return out
+
+
 def convert_pixel_decoder(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
     """``sem_seg_head.pixel_decoder.*`` → pixel decoder tree."""
     pre = "sem_seg_head.pixel_decoder"
@@ -466,6 +522,8 @@ def convert_backbone(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
         return convert_mvit_backbone(sd, cfg)
     if name == "mix_transformer" or name.startswith("mit_"):
         return convert_mit_backbone(sd)
+    if name == "resnet":
+        return convert_resnet_backbone(sd, cfg)
     if name == "wideresnet38":
         return convert_wideresnet_backbone(sd)
     raise NotImplementedError(f"converter for backbone {name}")

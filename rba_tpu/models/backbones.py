@@ -79,6 +79,16 @@ def build_backbone(cfg: RbAConfig):
             {f"scale{i + 2}": dims[i] for i in range(4)},
         )
 
+    if name == "resnet":
+        from .resnet import resnet_apply, resnet_init
+
+        rcfg = cfg.resnet
+        return (
+            lambda key: resnet_init(key, rcfg),
+            lambda p, x, dtype: resnet_apply(p, rcfg, x, compute_dtype=dtype),
+            dict(rcfg.out_channels),
+        )
+
     if name == "wideresnet38":
         from .wideresnet import WideResNetConfig, wideresnet_apply, wideresnet_init
 

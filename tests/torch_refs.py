@@ -511,3 +511,62 @@ class TorchSimpleDecoder(nn.Module):
         out = self.cross_norm(out + y)
         cls, masks, _ = self.pred_heads(out, mask_features, size)
         return cls, masks
+
+
+# ---------------------------------------------------------------------------
+# torchvision-style ResNet (bottleneck) for the D2 ResNet backbone golden
+# ---------------------------------------------------------------------------
+
+class TorchBottleneck(nn.Module):
+    def __init__(self, in_ch, bottleneck, out_ch, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, bottleneck, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(bottleneck)
+        self.conv2 = nn.Conv2d(bottleneck, bottleneck, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(bottleneck)
+        self.conv3 = nn.Conv2d(bottleneck, out_ch, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_ch)
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_ch, out_ch, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(out_ch),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(identity + y)
+
+
+class TorchResNet(nn.Module):
+    """torchvision ResNet naming (conv1/bn1/layer1..4) with bottleneck
+    blocks and stride on the 3x3 conv (STRIDE_IN_1X1=False)."""
+
+    def __init__(self, stage_blocks=(3, 4, 6, 3)):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        in_ch = 64
+        for i, n in enumerate(stage_blocks):
+            bott = 64 * 2**i
+            out_ch = 256 * 2**i
+            blocks = []
+            for b in range(n):
+                stride = 2 if (b == 0 and i > 0) else 1
+                blocks.append(TorchBottleneck(in_ch, bott, out_ch, stride))
+                in_ch = out_ch
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        self.fc = nn.Linear(in_ch, 10)  # present in real ckpts; converter drops it
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        outs = {}
+        for i in range(1, 5):
+            x = getattr(self, f"layer{i}")(x)
+            outs[f"res{i + 1}"] = x
+        return outs
