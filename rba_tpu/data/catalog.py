@@ -37,9 +37,104 @@ def registered() -> list:
     return sorted(_REGISTRY)
 
 
+# ---------------------------------------------------------------------------
+# metadata builders (category tables in rba_tpu/data/categories.py)
+# ---------------------------------------------------------------------------
+
+def coco_panoptic_metadata(open_panoptic: bool = False) -> Dict:
+    """COCO 133-class panoptic metadata: thing/stuff classes+colors and the
+    original-id → contiguous-id maps (reference
+    register_coco_panoptic_annos_semseg.py:35-71; open variant drops the 16
+    unknown thing classes, register_coco_open_panoptic.py:30-75)."""
+    from .categories import COCO_PANOPTIC_CATEGORIES, OPEN_PANOPTIC_UNKNOWN_CLASSES
+
+    unknown = set(OPEN_PANOPTIC_UNKNOWN_CLASSES) if open_panoptic else set()
+    cats = COCO_PANOPTIC_CATEGORIES
+    thing = [(n, c) for _, isth, n, c in cats if isth == 1 and n not in unknown]
+    meta = {
+        "thing_classes": [n for n, _ in thing],
+        "thing_colors": [list(c) for _, c in thing],
+        "stuff_classes": [n for _, _, n, _ in cats],
+        "stuff_colors": [list(c) for _, _, _, c in cats],
+        "thing_dataset_id_to_contiguous_id": {
+            i: idx for idx, (i, isth, n, _) in enumerate(cats)
+            if isth == 1 and n not in unknown
+        },
+        "stuff_dataset_id_to_contiguous_id": {i: idx for idx, (i, _, _, _) in enumerate(cats)},
+        "ignore_label": 255,
+        "label_divisor": 1000,
+    }
+    if open_panoptic:
+        meta["unknown_classes"] = list(OPEN_PANOPTIC_UNKNOWN_CLASSES)
+    return meta
+
+
+def coco_stuff_10k_metadata() -> Dict:
+    """(reference register_coco_stuff_10k.py:182-199)"""
+    from .categories import COCO_STUFF_10K_CATEGORIES
+
+    return {
+        "stuff_classes": [n for _, _, n, _ in COCO_STUFF_10K_CATEGORIES],
+        "stuff_dataset_id_to_contiguous_id": {
+            i: idx for idx, (i, _, _, _) in enumerate(COCO_STUFF_10K_CATEGORIES)
+        },
+        "ignore_label": 255,
+        "evaluator_type": "sem_seg",
+    }
+
+
+def mapillary_metadata() -> Dict:
+    """Full 66-class Mapillary Vistas meta; train id = table position,
+    position 65 (void--unlabeled, evaluate=False) is the ignore label
+    (reference register_mapillary_vistas.py:473-484)."""
+    from .categories import MAPILLARY_VISTAS_CATEGORIES
+
+    evaluated = [(r, c) for _, r, _, ev, c in MAPILLARY_VISTAS_CATEGORIES if ev]
+    return {
+        "stuff_classes": [r for r, _ in evaluated],
+        "stuff_colors": [list(c) for _, c in evaluated],
+        "ignore_label": 65,
+        "evaluator_type": "sem_seg",
+    }
+
+
+def mapillary_panoptic_metadata() -> Dict:
+    """(reference register_mapillary_vistas_panoptic.py)"""
+    from .categories import MAPILLARY_VISTAS_PANOPTIC_CATEGORIES
+
+    cats = MAPILLARY_VISTAS_PANOPTIC_CATEGORIES
+    return {
+        "thing_classes": [n for _, isth, n, _ in cats if isth],
+        "thing_colors": [list(c) for _, isth, _, c in cats if isth],
+        "stuff_classes": [n for _, _, n, _ in cats],
+        "stuff_colors": [list(c) for _, _, _, c in cats],
+        "thing_dataset_id_to_contiguous_id": {
+            i: idx for idx, (i, isth, _, _) in enumerate(cats) if isth
+        },
+        "stuff_dataset_id_to_contiguous_id": {i: idx for idx, (i, _, _, _) in enumerate(cats)},
+        "ignore_label": 65,
+        "label_divisor": 1000,
+        "evaluator_type": "coco_panoptic_seg",
+    }
+
+
+def street_hazards_metadata() -> Dict:
+    """(reference register_street_hazards.py:47-74: ignore_label 12)"""
+    from .categories import STREET_HAZARDS_CLASSES
+
+    return {
+        "thing_classes": list(STREET_HAZARDS_CLASSES),
+        "stuff_classes": list(STREET_HAZARDS_CLASSES),
+        "ignore_label": 12,
+        "evaluator_type": "sem_seg",
+    }
+
+
 def register_standard_datasets(root: str) -> None:
-    """Register the reference's standard catalog names rooted at ``root``
-    (mirroring the D2 names in the released configs)."""
+    """Register every catalog name the reference's registration modules
+    provide, rooted at ``root`` (the 9 modules of
+    /root/reference/mask2former/data/datasets/__init__.py plus the
+    cityscapes-partial and coco-mix aliases)."""
     from .ood_datasets import (
         BDD100KSeg,
         CityscapesSemSeg,
@@ -47,9 +142,11 @@ def register_standard_datasets(root: str) -> None:
         FishyscapesStatic,
         LostAndFound,
         MapillarySemSeg,
+        PanopticDataset,
         RoadAnomaly,
         RoadAnomaly21,
         RoadObstacle21,
+        SemSegFolder,
         StreetHazards,
     )
     from .taxonomies import CITYSCAPES_CLASSES, CITYSCAPES_THING_CLASSES
@@ -60,15 +157,99 @@ def register_standard_datasets(root: str) -> None:
         ignore_label=255,
         evaluator_type="cityscapes_sem_seg",
     )
+    cs = os.path.join(root, "cityscapes")
+    coco = os.path.join(root, "coco")
+    mapi = os.path.join(root, "mapillary_vistas")
+
+    def cs_split(split):
+        return lambda: CityscapesSemSeg(cs, split)
+
+    def coco_panoptic(split, meta):
+        return lambda: PanopticDataset(
+            os.path.join(coco, f"{split}2017"),
+            os.path.join(coco, f"panoptic_{split}2017"),
+            os.path.join(coco, f"annotations/panoptic_{split}2017.json"),
+        )
+
+    pan_meta = coco_panoptic_metadata()
+    open_meta = coco_panoptic_metadata(open_panoptic=True)
+    stuff_meta = coco_stuff_10k_metadata()
+    mapi_meta = mapillary_metadata()
+    sh_meta = street_hazards_metadata()
+    sh_root = os.path.join(root, "StreetHazards")
+
     specs = {
-        "cityscapes_fine_sem_seg_train": (
-            lambda: CityscapesSemSeg(os.path.join(root, "cityscapes"), "train"), cs_meta),
-        "cityscapes_fine_sem_seg_val": (
-            lambda: CityscapesSemSeg(os.path.join(root, "cityscapes"), "val"), cs_meta),
+        # cityscapes (incl. the partial module's test split + instance alias
+        # and the coco-mix name that points at the ordinary train split,
+        # cityscapes_coco_mix.py:16-35)
+        "cityscapes_fine_sem_seg_train": (cs_split("train"), cs_meta),
+        "cityscapes_fine_sem_seg_val": (cs_split("val"), cs_meta),
+        "cityscapes_fine_sem_seg_test": (cs_split("test"), cs_meta),
+        "cityscapes_coco_sem_seg_mix": (cs_split("train"), cs_meta),
+        "cityscapes_fine_instance_seg_train": (
+            cs_split("train"), {**cs_meta, "evaluator_type": "cityscapes_instance"}),
+        "cityscapes_fine_instance_seg_val": (
+            cs_split("val"), {**cs_meta, "evaluator_type": "cityscapes_instance"}),
+        # mapillary full taxonomy + cityscapes-taxonomy + panoptic
+        "mapillary_vistas_sem_seg_train": (
+            lambda: SemSegFolder(os.path.join(mapi, "training/images"),
+                                 os.path.join(mapi, "training/labels")), mapi_meta),
+        "mapillary_vistas_sem_seg_val": (
+            lambda: SemSegFolder(os.path.join(mapi, "validation/images"),
+                                 os.path.join(mapi, "validation/labels")), mapi_meta),
+        "mapillary_vistas_panoptic_train": (
+            lambda: PanopticDataset(
+                os.path.join(mapi, "training/images"),
+                os.path.join(mapi, "training/panoptic"),
+                os.path.join(mapi, "training/panoptic/panoptic_2018.json")),
+            mapillary_panoptic_metadata()),
+        "mapillary_vistas_panoptic_val": (
+            lambda: PanopticDataset(
+                os.path.join(mapi, "validation/images"),
+                os.path.join(mapi, "validation/panoptic"),
+                os.path.join(mapi, "validation/panoptic/panoptic_2018.json")),
+            mapillary_panoptic_metadata()),
         "mapillary_cityscapes_sem_seg_train": (
-            lambda: MapillarySemSeg(os.path.join(root, "mapillary_vistas"), "train"), cs_meta),
+            lambda: MapillarySemSeg(mapi, "train"), cs_meta),
         "mapillary_cityscapes_sem_seg_val": (
-            lambda: MapillarySemSeg(os.path.join(root, "mapillary_vistas"), "val"), cs_meta),
+            lambda: MapillarySemSeg(mapi, "val"), cs_meta),
+        # coco panoptic (+_with_sem_seg alias) and the open-world variant
+        "coco_2017_train_panoptic": (coco_panoptic("train", pan_meta),
+                                     {**pan_meta, "evaluator_type": "coco_panoptic_seg"}),
+        "coco_2017_val_panoptic": (coco_panoptic("val", pan_meta),
+                                   {**pan_meta, "evaluator_type": "coco_panoptic_seg"}),
+        "coco_2017_train_panoptic_with_sem_seg": (
+            coco_panoptic("train", pan_meta),
+            {**pan_meta, "evaluator_type": "coco_panoptic_seg"}),
+        "coco_2017_val_panoptic_with_sem_seg": (
+            coco_panoptic("val", pan_meta),
+            {**pan_meta, "evaluator_type": "coco_panoptic_seg"}),
+        "coco_2017_train_panoptic_open": (
+            coco_panoptic("train", open_meta),
+            {**open_meta, "evaluator_type": "coco_panoptic_seg"}),
+        "coco_2017_val_panoptic_open": (
+            coco_panoptic("val", open_meta),
+            {**open_meta, "evaluator_type": "coco_panoptic_seg"}),
+        # coco stuff-10k semantic
+        "coco_2017_train_stuff_10k_sem_seg": (
+            lambda: SemSegFolder(
+                os.path.join(coco, "coco_stuff_10k/images_detectron2/train"),
+                os.path.join(coco, "coco_stuff_10k/annotations_detectron2/train")),
+            stuff_meta),
+        "coco_2017_test_stuff_10k_sem_seg": (
+            lambda: SemSegFolder(
+                os.path.join(coco, "coco_stuff_10k/images_detectron2/test"),
+                os.path.join(coco, "coco_stuff_10k/annotations_detectron2/test")),
+            stuff_meta),
+        # street hazards train/val (register_street_hazards.py) + OOD test
+        "street_hazards_sem_seg_train": (
+            lambda: SemSegFolder(os.path.join(sh_root, "train/images"),
+                                 os.path.join(sh_root, "train/annotations")), sh_meta),
+        "street_hazards_sem_seg_val": (
+            lambda: SemSegFolder(os.path.join(sh_root, "train/images"),
+                                 os.path.join(sh_root, "train/annotations")), sh_meta),
+        "street_hazards_test": (lambda: StreetHazards(os.path.join(root, "street_hazards")), {}),
+        # standalone OOD eval datasets
         "road_anomaly": (
             lambda: RoadAnomaly(os.path.join(root, "RoadAnomaly/RoadAnomaly_jpg")), {}),
         "fishyscapes_laf": (lambda: FishyscapesLAF(os.path.join(root, "Fishyscapes")), {}),
@@ -79,7 +260,6 @@ def register_standard_datasets(root: str) -> None:
             lambda: RoadObstacle21(os.path.join(root, "SegmentMeIfYouCan/dataset_ObstacleTrack")), {}),
         "lost_and_found": (lambda: LostAndFound(os.path.join(root, "LostAndFound")), {}),
         "bdd100k_sem_seg_val": (lambda: BDD100KSeg(os.path.join(root, "bdd100k/seg")), {}),
-        "street_hazards_test": (lambda: StreetHazards(os.path.join(root, "street_hazards")), {}),
     }
     for name, (factory, meta) in specs.items():
         if name not in _REGISTRY:

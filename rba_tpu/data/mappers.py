@@ -18,6 +18,7 @@ device.
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import random
 from dataclasses import dataclass, field
@@ -416,3 +417,85 @@ def lsj_augment(rng: random.Random, image: np.ndarray, sem_seg: np.ndarray,
         img = np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=128)
         seg = np.pad(seg, ((0, ph), (0, pw)), constant_values=ignore_label)
     return np.ascontiguousarray(img), np.ascontiguousarray(seg.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# void-as-outlier and StreetHazards train mappers
+# ---------------------------------------------------------------------------
+
+def cityscapes_void_lut() -> np.ndarray:
+    """Cityscapes labelIds → train ids with void categories supervised as
+    OOD (254) rather than ignored, per the reference's void mapper table
+    (mask_former_semantic_void_dataset_mapper.py:23-59): true void
+    (unlabeled/ego/rectification/out-of-roi/license-plate) → 255; ambiguous
+    void (static/dynamic/ground/parking/rail track/guard rail/bridge/tunnel/
+    polegroup/caravan/trailer) → 254; the 19 eval classes keep their usual
+    train ids."""
+    lut = np.full(256, 255, np.int32)
+    train = {7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8,
+             22: 9, 23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16,
+             32: 17, 33: 18}
+    ood_ids = (4, 5, 6, 9, 10, 14, 15, 16, 18, 29, 30)
+    for i, t in train.items():
+        lut[i] = t
+    for i in ood_ids:
+        lut[i] = 254
+    return lut
+
+
+class SemanticVoidDatasetMapper(SemanticDatasetMapper):
+    """Void-as-outlier supervision (reference
+    mask_former_semantic_void_dataset_mapper.py:68-250): reads raw
+    *labelIds* maps, maps void categories to the OOD label via
+    cityscapes_void_lut, and emits outlier_masks ∈ {0, 1, 255} so the
+    outlier losses can supervise them — no COCO pasting involved."""
+
+    def __init__(self, cfg: MapperConfig, seed: int = 0):
+        super().__init__(cfg, labels_mapping=cityscapes_void_lut(), seed=seed)
+
+    def __call__(self, image: np.ndarray, label_ids: np.ndarray) -> Dict[str, np.ndarray]:
+        out = super().__call__(image, label_ids)
+        sem_seg = out["sem_seg"]
+        outlier = np.zeros_like(sem_seg)
+        outlier[sem_seg == self.cfg.ood_label] = 1
+        outlier[sem_seg == self.cfg.ignore_label] = self.cfg.ignore_label
+        out["outlier_masks"] = outlier.astype(np.int32)
+        return out
+
+
+def street_hazards_shift(sem_seg: np.ndarray) -> np.ndarray:
+    """The reference's StreetHazards taxonomy shift
+    (mask_former_semantic_street_hazards_mapper.py:141-143): labels are
+    1-based; subtract 1, relocate class 3 to the end, close the gap.  The
+    relocated class ends at 12 (the registered ignore_label), excluding it
+    from supervision."""
+    x = sem_seg.astype(np.int64) - 1
+    x = np.where(x == 3, 13, x)
+    x = np.where(x >= 3, x - 1, x)
+    return x.astype(np.int32)
+
+
+class StreetHazardsMapper(SemanticDatasetMapper):
+    """StreetHazards train mapper (reference ..._street_hazards_mapper.py):
+    the taxonomy shift above, then the standard semantic pipeline with
+    ignore_label 12."""
+
+    def __init__(self, cfg: MapperConfig, seed: int = 0):
+        cfg = dataclasses.replace(cfg, ignore_label=12)
+        super().__init__(cfg, seed=seed)
+
+    def __call__(self, image: np.ndarray, sem_seg: np.ndarray) -> Dict[str, np.ndarray]:
+        return super().__call__(image, street_hazards_shift(sem_seg))
+
+
+class StreetHazardsCocoMixMapper(SemanticCocoMixDatasetMapper):
+    """StreetHazards OOD-finetune mapper (reference
+    ..._street_hazards_coco_mix_mapper.py): taxonomy shift + COCO-object
+    pasting at ood_label, outlier_masks emission."""
+
+    def __init__(self, cfg: MapperConfig, coco_dataset, ood_prob: float = 0.2, seed: int = 0):
+        cfg = dataclasses.replace(cfg, ignore_label=12)
+        super().__init__(cfg, coco_dataset, ood_prob=ood_prob, seed=seed)
+
+    def __call__(self, image: np.ndarray, sem_seg: np.ndarray) -> Dict[str, np.ndarray]:
+        return super().__call__(image, street_hazards_shift(sem_seg))

@@ -522,3 +522,29 @@ class PanopticDataset:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+
+class SemSegFolder(OODDataset):
+    """Generic (image dir, label dir) pairing by shared file stem — the
+    equivalent of detectron2's load_sem_seg as used by the reference's
+    mapillary/stuff-10k/street-hazards registrations (gt_ext=png,
+    image_ext=jpg; any image extension accepted here).  Labels are raw
+    dataset train-id maps, not binarized OOD labels."""
+
+    name = "sem_seg_folder"
+
+    def __init__(self, image_root: str, sem_seg_root: str):
+        super().__init__()
+        self.image_root = image_root
+        self.sem_seg_root = sem_seg_root
+        if not os.path.isdir(image_root):
+            return
+        labels = {}
+        for f in os.listdir(sem_seg_root) if os.path.isdir(sem_seg_root) else []:
+            if f.endswith(".png"):
+                labels[os.path.splitext(f)[0]] = os.path.join(sem_seg_root, f)
+        for f in sorted(os.listdir(image_root)):
+            stem = os.path.splitext(f)[0]
+            if stem in labels:
+                self.images.append(os.path.join(image_root, f))
+                self.labels.append(labels[stem])
