@@ -94,6 +94,10 @@ def pq_compute_single(
     stat = PQStat()
     pred_cat = {s["id"]: s["category_id"] for s in segments_pred}
     gt_cat = {s["id"]: s["category_id"] for s in segments_gt}
+    # panopticapi crowd rules (reference evaluation.py:158-198): crowd gt
+    # segments never match and are not FNs; their area joins the void pool
+    # for the FP filter of same-category predictions
+    gt_crowd = {s["id"] for s in segments_gt if s.get("iscrowd", 0) == 1}
 
     pan_pred = pan_pred.astype(np.int64)
     pan_gt = pan_gt.astype(np.int64)
@@ -109,7 +113,7 @@ def pq_compute_single(
 
     matched_pred, matched_gt = set(), set()
     for (pid, gid), cnt in inter.items():
-        if pid == VOID or gid == VOID:
+        if pid == VOID or gid == VOID or gid in gt_crowd:
             continue
         if pred_cat.get(pid) != gt_cat.get(gid):
             continue
@@ -124,15 +128,19 @@ def pq_compute_single(
             matched_gt.add(gid)
 
     for gid, cat in gt_cat.items():
-        if gid in matched_gt or gid not in gt_areas:
+        if gid in matched_gt or gid not in gt_areas or gid in gt_crowd:
             continue
         stat[cat].fn += 1
 
+    crowd_by_cat = {gt_cat[g]: g for g in gt_crowd}
     for pid, cat in pred_cat.items():
         if pid in matched_pred or pid not in pred_areas:
             continue
-        # predictions mostly covered by void don't count as FP
+        # predictions mostly covered by void (+ same-category crowd) don't
+        # count as FP (panopticapi rule, reference evaluation.py:190-198)
         void_overlap = inter.get((pid, VOID), 0)
+        if cat in crowd_by_cat:
+            void_overlap += inter.get((pid, crowd_by_cat[cat]), 0)
         if pred_areas[pid] > 0 and void_overlap / pred_areas[pid] > 0.5:
             continue
         stat[cat].fp += 1

@@ -136,7 +136,9 @@ def mask_average_precision(
     predictions: List[Dict[str, np.ndarray]],  # per image: pred_masks, scores, pred_classes
     ground_truths: List[Dict[str, np.ndarray]],  # per image: masks, classes
     num_classes: int,
-    iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+    # linspace, not arange: pycocotools' exact grid — arange's 0.60000…01
+    # would reject an exactly-0.6 IoU at the 0.6 threshold
+    iou_thresholds: Sequence[float] = tuple(np.linspace(0.5, 0.95, 10)),
 ) -> Dict[str, float]:
     """COCO-style mask AP (mean over IoU 0.5:0.95), numpy implementation."""
     ap_per_thr = []

@@ -95,6 +95,7 @@ def maskformer_forward(
     cfg: RbAConfig,
     images: jax.Array,  # (B, Hp, Wp, 3) normalized + padded
     final_mask_layout: str = "bqhw",
+    need_aux: bool = True,  # False at inference (aux heads feed only the attn mask)
 ) -> Dict:
     """Raw network outputs: pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4),
     aux_outputs.  Shared by training and inference."""
@@ -118,6 +119,7 @@ def maskformer_forward(
             mask_features,
             compute_dtype=jnp.float32,
             final_mask_layout=final_mask_layout,
+            need_aux=need_aux,
         )
     if name == "MultiScalePerPixelDecoder":
         from .transformer_decoder import per_pixel_decoder_apply
@@ -188,14 +190,16 @@ def maskformer_infer_rba(
     if jax.default_backend() == "tpu":
         from ..ops.pallas.fused_rba import fused_rba_score
 
-        outputs = maskformer_forward(params, cfg, x, final_mask_layout="bhwq")
+        outputs = maskformer_forward(
+            params, cfg, x, final_mask_layout="bhwq", need_aux=False
+        )
         rba = fused_rba_score(
             outputs["pred_logits"], outputs["pred_masks"], masks_layout="bhwq"
         )
     else:
         from ..ops.pallas.fused_rba import fused_rba_score_reference
 
-        outputs = maskformer_forward(params, cfg, x)
+        outputs = maskformer_forward(params, cfg, x, need_aux=False)
         rba = fused_rba_score_reference(outputs["pred_logits"], outputs["pred_masks"])
     return rba[:, :h_img, :w_img]
 
@@ -217,7 +221,7 @@ def maskformer_infer(
     x = preprocess(cfg, images)
     hp, wp = x.shape[1], x.shape[2]
 
-    outputs = maskformer_forward(params, cfg, x)
+    outputs = maskformer_forward(params, cfg, x, need_aux=False)
     mask_cls = outputs["pred_logits"]
     mask_pred = outputs["pred_masks"]
 

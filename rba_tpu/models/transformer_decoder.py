@@ -138,6 +138,33 @@ def decoder_init(key, cfg: DecoderConfig, num_classes: int, in_channels: int):
 # Apply
 # ---------------------------------------------------------------------------
 
+def _attn_mask_only(
+    params,
+    output: jax.Array,  # (B, Q, C)
+    mask_features_small: jax.Array,  # (B, h, w, C_mask) pre-resized to the level
+):
+    """Inference-only fast path for non-final layers: their class/mask heads
+    feed nothing but the next layer's attention mask (aux outputs are
+    discarded at eval), and bilinear resize is linear in mask_features, so
+    resize-then-einsum equals einsum-then-resize — computed at the level
+    resolution (32×64 for the released 1dl configs) instead of stride 4,
+    skipping the full-res HIGHEST-precision einsum entirely."""
+    dec_out = layer_norm(params["decoder_norm"], output)
+    mask_embed = mlp_apply(params["mask_embed"], dec_out)
+    am = jnp.einsum(
+        "bqc,bhwc->bqhw",
+        mask_embed.astype(jnp.float32),
+        mask_features_small.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    blocked = jax.nn.sigmoid(am) < 0.5
+    blocked = blocked.reshape(am.shape[0], am.shape[1], -1)
+    all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
+    blocked = jnp.where(all_blocked, False, blocked)
+    attn_mask = jnp.where(blocked, NEG_INF, 0.0).astype(jnp.float32)
+    return jax.lax.stop_gradient(attn_mask[:, None, :, :])
+
+
 def _prediction_heads(
     params,
     cfg: DecoderConfig,
@@ -174,10 +201,19 @@ def decoder_apply(
     mask_features: jax.Array,  # (B, H/4, W/4, C_mask)
     compute_dtype=jnp.float32,
     final_mask_layout: str = "bqhw",  # "bhwq" feeds the fused RbA kernel
+    need_aux: bool = True,  # False at inference: intermediate heads only
+    # produce the next attention mask, via the resize-commuted small einsum
 ) -> Dict:
     assert len(x) == cfg.num_feature_levels
     b = x[0].shape[0]
     c = cfg.hidden_dim
+
+    from ..ops.resize import resize_bilinear_nhwc
+
+    mf_small = None
+    if not need_aux:
+        # one resize of mask_features per level size, reused across layers
+        mf_small = {}
 
     srcs, poss, sizes = [], [], []
     for i in range(cfg.num_feature_levels):
@@ -202,11 +238,21 @@ def decoder_apply(
     predictions_class: List[jax.Array] = []
     predictions_mask: List[jax.Array] = []
 
-    outputs_class, outputs_mask, attn_mask = _prediction_heads(
-        params, cfg, output, mask_features, sizes[0]
-    )
-    predictions_class.append(outputs_class)
-    predictions_mask.append(outputs_mask)
+    def small_mf(hw):
+        if hw not in mf_small:
+            mf_small[hw] = resize_bilinear_nhwc(
+                mask_features.astype(jnp.float32), hw
+            )
+        return mf_small[hw]
+
+    if need_aux:
+        outputs_class, outputs_mask, attn_mask = _prediction_heads(
+            params, cfg, output, mask_features, sizes[0]
+        )
+        predictions_class.append(outputs_class)
+        predictions_mask.append(outputs_mask)
+    else:
+        attn_mask = _attn_mask_only(params, output, small_mf(sizes[0]))
 
     for i in range(cfg.dec_layers):
         lvl = i % cfg.num_feature_levels
@@ -243,6 +289,11 @@ def decoder_apply(
                 mask_features.astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST,
             )
+        elif not need_aux and i < cfg.dec_layers - 1:
+            attn_mask = _attn_mask_only(
+                params, output, small_mf(sizes[(i + 1) % cfg.num_feature_levels])
+            )
+            continue
         else:
             outputs_class, outputs_mask, attn_mask = _prediction_heads(
                 params, cfg, output, mask_features, sizes[(i + 1) % cfg.num_feature_levels]

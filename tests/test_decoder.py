@@ -164,3 +164,32 @@ def test_semantic_inference_and_rba(rng):
     np.testing.assert_allclose(np.asarray(sem), sem_t.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rba_score(sem)), want_rba, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(energy_score(sem)), want_energy, rtol=1e-5, atol=1e-6)
+
+
+def test_need_aux_false_matches_full_path(rng):
+    """Inference fast path (resize-commuted attention-mask einsum, no aux
+    heads) must produce the same final predictions as the training path —
+    bilinear resize is linear in mask_features so the commuted form is
+    algebraically identical."""
+    from rba_tpu.config import DecoderConfig
+    from rba_tpu.models.transformer_decoder import decoder_init
+
+    cfg = DecoderConfig(
+        hidden_dim=32, num_queries=8, nheads=4, dim_feedforward=64, dec_layers=3,
+        mask_dim=32, num_feature_levels=1,
+    )
+    params = decoder_init(jax.random.PRNGKey(3), cfg, 5, 32)
+    feats = [jnp.asarray(rng.randn(2, 8, 12, 32), jnp.float32)]
+    mf = jnp.asarray(rng.randn(2, 16, 24, 32), jnp.float32)
+
+    full = decoder_apply(params, cfg, feats, mf, need_aux=True)
+    fast = decoder_apply(params, cfg, feats, mf, need_aux=False)
+    assert fast["aux_outputs"] == []
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_logits"]), np.asarray(full["pred_logits"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_masks"]), np.asarray(full["pred_masks"]),
+        rtol=1e-4, atol=1e-5,
+    )

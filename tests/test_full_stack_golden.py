@@ -16,8 +16,10 @@ from rba_tpu.models.maskformer import maskformer_forward, rba_score, semantic_in
 from rba_tpu.ops.resize import resize_bilinear
 
 
-def _export_d2_state_dict(swin, pd, dec):
-    """Map the torch modules' tensors to the reference's D2 names."""
+def _export_d2_state_dict(swin, pd, dec, query_feat_key="query_feat"):
+    """Map the torch modules' tensors to the reference's D2 names.
+    ``query_feat_key="static_query"`` exports the historical pre-rename name
+    (mask2former_transformer_decoder.py:237-258)."""
     sd = {}
 
     def put(name, t):
@@ -78,18 +80,27 @@ def _export_d2_state_dict(swin, pd, dec):
         put(pre + ".linear2.bias", l.linear2.bias)
         put(pre + ".norm2.weight", l.norm2.weight)
         put(pre + ".norm2.bias", l.norm2.bias)
-    put(b + ".adapter_1.weight", pd.adapter_conv.weight)
-    put(b + ".adapter_1.norm.weight", pd.adapter_gn.weight)
-    put(b + ".adapter_1.norm.bias", pd.adapter_gn.bias)
-    put(b + ".layer_1.weight", pd.out_conv.weight)
-    put(b + ".layer_1.norm.weight", pd.out_gn.weight)
-    put(b + ".layer_1.norm.bias", pd.out_gn.bias)
+    if hasattr(pd, "adapters"):  # full layout: adapter_1..n (res2 first)
+        for k in range(len(pd.adapters)):
+            put(f"{b}.adapter_{k + 1}.weight", pd.adapters[k].weight)
+            put(f"{b}.adapter_{k + 1}.norm.weight", pd.adapter_gns[k].weight)
+            put(f"{b}.adapter_{k + 1}.norm.bias", pd.adapter_gns[k].bias)
+            put(f"{b}.layer_{k + 1}.weight", pd.out_convs[k].weight)
+            put(f"{b}.layer_{k + 1}.norm.weight", pd.out_gns[k].weight)
+            put(f"{b}.layer_{k + 1}.norm.bias", pd.out_gns[k].bias)
+    else:
+        put(b + ".adapter_1.weight", pd.adapter_conv.weight)
+        put(b + ".adapter_1.norm.weight", pd.adapter_gn.weight)
+        put(b + ".adapter_1.norm.bias", pd.adapter_gn.bias)
+        put(b + ".layer_1.weight", pd.out_conv.weight)
+        put(b + ".layer_1.norm.weight", pd.out_gn.weight)
+        put(b + ".layer_1.norm.bias", pd.out_gn.bias)
     put(b + ".mask_features.weight", pd.mask_features.weight)
     put(b + ".mask_features.bias", pd.mask_features.bias)
 
     # ---- predictor ----
     p = "sem_seg_head.predictor"
-    put(p + ".query_feat.weight", dec.query_feat.weight)
+    put(f"{p}.{query_feat_key}.weight", dec.query_feat.weight)
     put(p + ".query_embed.weight", dec.query_embed.weight)
     put(p + ".level_embed.weight", dec.level_embed.weight)
     for i in range(dec.num_layers):
@@ -127,6 +138,80 @@ def _export_d2_state_dict(swin, pd, dec):
         put(f"{p}.mask_embed.layers.{j}.weight", m.weight)
         put(f"{p}.mask_embed.layers.{j}.bias", m.bias)
     return sd
+
+
+def test_full_scale_swin_b_golden(rng):
+    """The released swin_b_1dl architecture at reduced input (256×512):
+    window 12 with 23×23 rel-pos tables, embed 128, depths 2/2/18/2, 6
+    deformable encoder layers on res5, 3 FPN laterals, 1 masked decoder
+    layer, Q=100 — weights exported under the real D2 names including the
+    historical static_query rename, RbA map parity ≤1e-3
+    (spec: /root/reference/ckpts/swin_b_1dl/config.yaml)."""
+    from rba_tpu.config import load_d2_config
+    from tests.torch_refs import (
+        TorchMiniMaskedDecoder,
+        TorchPixelDecoderFull,
+        TorchSwinFull,
+        torch_sine_pos_embed,
+    )
+
+    cfg = load_d2_config(
+        "/root/reference/ckpts/swin_b_1dl/config.yaml", compute_dtype="float32"
+    )
+    assert cfg.swin.window_size == 12 and cfg.swin.depths == (2, 2, 18, 2)
+    assert cfg.decoder.dec_layers == 1 and cfg.decoder.num_queries == 100
+    assert cfg.pixel_decoder.transformer_enc_layers == 6
+    assert cfg.pixel_decoder.transformer_in_features == ("res5",)
+
+    torch.manual_seed(0)
+    swin = TorchSwinFull(embed_dim=128, depths=(2, 2, 18, 2),
+                         num_heads=(4, 8, 16, 32), window=12)
+    with torch.no_grad():
+        for stage in swin.blocks:
+            for blk in stage:
+                # 23x23 rel-pos tables exercised with real (non-zero) values
+                blk.attn.relative_position_bias_table.normal_(0, 0.5)
+    in_ch = {"res2": 128, "res3": 256, "res4": 512, "res5": 1024}
+    pd = TorchPixelDecoderFull(in_ch, conv_dim=256, mask_dim=256, enc_layers=6,
+                               nheads=8, ffn=1024)
+    with torch.no_grad():
+        for l in pd.layers:
+            l.attn.sampling_offsets.weight.normal_(0, 0.01)
+            l.attn.sampling_offsets.bias.normal_(0, 0.3)
+    dec = TorchMiniMaskedDecoder(256, 8, 2048, 1, 100, cfg.num_classes, 256,
+                                 num_levels=1)
+    with torch.no_grad():
+        for emb in (dec.query_feat, dec.query_embed, dec.level_embed):
+            emb.weight.normal_(0, 0.5)
+
+    h, w = 256, 512
+    x = rng.randn(1, 3, h, w).astype(np.float32)
+
+    with torch.no_grad():
+        feats = swin(torch.from_numpy(x))
+        assert feats["res5"].shape[1] == 1024
+        mask_features, enc = pd(feats)
+        pos = torch_sine_pos_embed(enc.shape[2], enc.shape[3], 128)
+        cls_list, mask_list = dec([enc], [pos], mask_features)
+        mask_cls, mask_pred = cls_list[-1], mask_list[-1]
+        mask_pred_up = F.interpolate(mask_pred, size=(h, w), mode="bilinear",
+                                     align_corners=False)
+        probs = torch.softmax(mask_cls, dim=-1)[..., :-1]
+        sem_t = torch.einsum("bqc,bqhw->bchw", probs, mask_pred_up.sigmoid())
+        rba_t = (-sem_t.tanh().sum(1)).numpy()
+
+    # exported under the historical pre-rename name to exercise the shim
+    sd = _export_d2_state_dict(swin, pd, dec, query_feat_key="static_query")
+    params = jax.tree.map(jnp.asarray, convert_d2_state_dict(sd, cfg))
+    outputs = maskformer_forward(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    mask_pred_j = resize_bilinear(outputs["pred_masks"], (h, w), align_corners=False)
+    sem_j = semantic_inference(outputs["pred_logits"], mask_pred_j)
+    rba_j = np.asarray(rba_score(sem_j))
+
+    np.testing.assert_allclose(
+        np.asarray(outputs["pred_logits"]), mask_cls.numpy(), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(rba_j, rba_t, rtol=1e-3, atol=1e-3)
 
 
 def test_full_stack_rba_parity(rng):

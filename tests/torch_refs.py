@@ -570,3 +570,60 @@ class TorchResNet(nn.Module):
             x = getattr(self, f"layer{i}")(x)
             outs[f"res{i + 1}"] = x
         return outs
+
+
+class TorchPixelDecoderFull(nn.Module):
+    """MSDeformAttnPixelDecoder at the released 1dl layout: one transformer
+    level (res5) + 3 FPN laterals down to res2 (reference msdeformattn.py:
+    adapter_1=res2 .. adapter_3=res4, forward top-down :350-367), GN(32)."""
+
+    def __init__(self, in_ch, conv_dim=256, mask_dim=256, enc_layers=6, nheads=8,
+                 npoints=4, ffn=1024, transformer_feature="res5",
+                 fpn_features=("res4", "res3", "res2")):
+        super().__init__()
+        self.conv_dim = conv_dim
+        self.transformer_feature = transformer_feature
+        self.fpn_features = fpn_features
+        self.input_proj_conv = nn.Conv2d(in_ch[transformer_feature], conv_dim, 1)
+        self.input_proj_gn = nn.GroupNorm(32, conv_dim)
+        self.level_embed = nn.Parameter(torch.randn(1, conv_dim))
+        self.layers = nn.ModuleList([
+            TorchDeformEncoderLayer(conv_dim, ffn, 1, nheads, npoints)
+            for _ in range(enc_layers)
+        ])
+        # adapter_1 = highest-resolution feature (res2)
+        self.adapters = nn.ModuleList()
+        self.adapter_gns = nn.ModuleList()
+        self.out_convs = nn.ModuleList()
+        self.out_gns = nn.ModuleList()
+        for f in reversed(fpn_features):  # res2 first = adapter_1
+            self.adapters.append(nn.Conv2d(in_ch[f], conv_dim, 1, bias=False))
+            self.adapter_gns.append(nn.GroupNorm(32, conv_dim))
+            self.out_convs.append(nn.Conv2d(conv_dim, conv_dim, 3, padding=1, bias=False))
+            self.out_gns.append(nn.GroupNorm(32, conv_dim))
+        self.mask_features = nn.Conv2d(conv_dim, mask_dim, 1)
+
+    def forward(self, feats):
+        x = feats[self.transformer_feature].float()
+        y = self.input_proj_gn(self.input_proj_conv(x))
+        B, C, H, W = y.shape
+        pos = torch_sine_pos_embed(H, W, C // 2).repeat(B, 1, 1, 1)
+        src = y.flatten(2).transpose(1, 2)
+        posf = pos.flatten(2).transpose(1, 2) + self.level_embed[0][None, None]
+        ys, xs = torch.meshgrid(
+            torch.linspace(0.5, H - 0.5, H) / H, torch.linspace(0.5, W - 0.5, W) / W,
+            indexing="ij")
+        ref = torch.stack([xs.reshape(-1), ys.reshape(-1)], -1)[None, :, None, :].repeat(B, 1, 1, 1)
+        out = src
+        for l in self.layers:
+            out = l(out, posf, ref, [(H, W)])
+        enc = out.transpose(1, 2).view(B, C, H, W)
+        # top-down FPN: res4 -> res3 -> res2 (adapter index len..1)
+        y = enc
+        n = len(self.fpn_features)
+        for i, f in enumerate(self.fpn_features):
+            k = n - 1 - i  # module list index: res4 -> adapters[n-1] (adapter_n)
+            lat = self.adapter_gns[k](self.adapters[k](feats[f].float()))
+            up = F.interpolate(y, size=lat.shape[-2:], mode="bilinear", align_corners=False)
+            y = F.relu(self.out_gns[k](self.out_convs[k](lat + up)))
+        return self.mask_features(y), enc
