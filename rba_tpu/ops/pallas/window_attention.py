@@ -179,3 +179,99 @@ def window_attention_fused_v2(
         interpret=interpret,
     )(qkv_f, rel_bias.astype(jnp.float32), mask_in)
     return out.reshape(b, nw, n, c)
+
+
+# ---------------------------------------------------------------------------
+# v3: grouped windows per grid step + single batched dot over (G·nh).
+# Fixes v1's two inefficiencies — one-window-per-step grid overhead and
+# per-step tiny dots — while keeping the pre-split head layout that Mosaic
+# compiles (block last-two dims equal the array's (N, hd)).  Scores live in
+# VMEM for the whole qkᵀ→bias/mask→softmax→v chain; only bf16 q/k/v stream
+# in and bf16 attention outputs stream out.
+# ---------------------------------------------------------------------------
+
+def _kernel_v3(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, scale, nh):
+    g, _, n, hd = q_ref.shape
+    q = q_ref[...].reshape(g * nh, n, hd).astype(jnp.float32) * scale
+    k = k_ref[...].reshape(g * nh, n, hd).astype(jnp.float32)
+    v = v_ref[...].reshape(g * nh, n, hd)
+
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(g, nh, n, n)
+    scores = scores + bias_ref[...][None]
+    scores = scores + mask_ref[...][:, None]
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype).reshape(g * nh, n, n)
+    out = jax.lax.dot_general(
+        probs, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = out.reshape(g, nh, n, hd).astype(out_ref.dtype)
+
+
+def window_attention_fused_v3(
+    q: jax.Array,  # (B, nW, nh, N, hd) — scale NOT yet applied
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,  # (nh, N, N) fp32
+    mask,  # (nW, N, N) additive np array or None
+    scale: float,
+    interpret: bool = False,
+    vmem_budget: int = 10 * 1024 * 1024,
+    group: int = 0,  # 0 = auto
+) -> jax.Array:  # (B, nW, nh, N, hd)
+    b, nw, nh, n, hd = q.shape
+    qf = q.reshape(b * nw, nh, n, hd)
+    kf = k.reshape(b * nw, nh, n, hd)
+    vf = v.reshape(b * nw, nh, n, hd)
+
+    if mask is None:
+        mask_arr = jnp.zeros((1, n, n), jnp.float32)
+        nmask = 1
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32)
+        nmask = mask_arr.shape[0]
+
+    # group size: scores fp32 + probs bf16 + 2x-buffered qkv/out streams;
+    # batched-dot batch count (g·nh) capped at 32 — larger batches have been
+    # observed to crash the Mosaic compiler (g=11, nh=4)
+    per_g = nh * n * n * 6 + 8 * nh * n * hd * q.dtype.itemsize
+    g_max = max(1, (vmem_budget - nh * n * n * 4) // per_g)
+    g_max = min(g_max, max(1, 32 // nh))
+    g = group
+    if g == 0:
+        g = 1
+        for cand in range(1, min(g_max, nw) + 1):
+            if nw % cand == 0:
+                g = cand
+    grid = ((b * nw) // g,)
+
+    qkv_spec = pl.BlockSpec((g, nh, n, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    if nmask == 1:
+        mask_in = jnp.broadcast_to(mask_arr, (g, n, n))
+        mask_spec = pl.BlockSpec((g, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        assert nmask == nw, "mask count must equal windows per image"
+        mask_in = mask_arr
+        mask_spec = pl.BlockSpec(
+            (g, n, n), lambda i: (i % (nw // g), 0, 0), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v3, scale=scale, nh=nh),
+        out_shape=jax.ShapeDtypeStruct((b * nw, nh, n, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=qkv_spec,
+        interpret=interpret,
+    )(qf, kf, vf, rel_bias.astype(jnp.float32), mask_in)
+    return out.reshape(b, nw, nh, n, hd)

@@ -39,6 +39,68 @@ def flop_count(fn, *args) -> float:
     return float(analysis.get("flops", float("nan")))
 
 
+def flop_table(fn, *args) -> dict:
+    """Per-operator FLOPs from the jaxpr: dot_general / conv FLOPs bucketed
+    by primitive (the analogue of fvcore's by-operator table in the
+    reference's do_flop, analyze_model.py:64-85)."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    counts: dict = defaultdict(float)
+
+    def visit(jpr):
+        for eqn in jpr.eqns:
+            for sub in jax.core.jaxprs_in_params(eqn.params) if hasattr(jax.core, "jaxprs_in_params") else []:
+                visit(sub)
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    visit(v.jaxpr)
+            if eqn.primitive.name == "dot_general":
+                lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+                out = eqn.outvars[0].aval
+                ((lc, _), _) = eqn.params["dimension_numbers"]
+                k = int(np.prod([lhs.shape[i] for i in lc]))
+                counts["dot_general"] += 2.0 * k * int(np.prod(out.shape))
+            elif eqn.primitive.name == "conv_general_dilated":
+                rhs = eqn.invars[1].aval
+                out = eqn.outvars[0].aval
+                # kernel contributes k_elems/out_channel MACs per output elem
+                out_ch = rhs.shape[eqn.params["dimension_numbers"].rhs_spec[0]]
+                counts["conv"] += 2.0 * int(np.prod(rhs.shape)) / out_ch * int(np.prod(out.shape))
+    visit(jaxpr.jaxpr)
+    return dict(counts)
+
+
+def activation_count(fn, *args) -> float:
+    """Total intermediate activation elements (millions) from the jaxpr —
+    the analogue of fvcore's activation_count_operators (reference
+    do_activation, analyze_model.py:88-113)."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    total = 0
+
+    def visit(jpr):
+        nonlocal total
+        for eqn in jpr.eqns:
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    visit(v.jaxpr)
+            if eqn.primitive.name in ("dot_general", "conv_general_dilated"):
+                total += sum(int(np.prod(o.aval.shape)) for o in eqn.outvars)
+    visit(jaxpr.jaxpr)
+    return total / 1e6
+
+
+def memory_analysis(fn, *args) -> dict:
+    """Compiled-program memory footprint from XLA (bytes)."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    ma = compiled.memory_analysis()
+    if ma is None:
+        return {}
+    return {
+        "argument_mb": getattr(ma, "argument_size_in_bytes", 0) / 1e6,
+        "output_mb": getattr(ma, "output_size_in_bytes", 0) / 1e6,
+        "temp_mb": getattr(ma, "temp_size_in_bytes", 0) / 1e6,
+    }
+
+
 def structure_string(params, depth: int = 4) -> str:
     lines = []
 
@@ -63,7 +125,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config-file", required=True)
     p.add_argument("--tasks", nargs="+", default=["parameter"],
-                   choices=["parameter", "flop", "structure"])
+                   choices=["parameter", "flop", "activation", "structure", "memory"])
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=2048)
     args = p.parse_args(argv)
@@ -85,6 +147,19 @@ def main(argv=None):
             img = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
             flops = flop_count(lambda p_, x: maskformer_infer_rba(p_, cfg, x), params, img)
             print(f"inference FLOPs @{args.height}x{args.width}: {flops / 1e9:.1f} GFLOPs")
+            table = flop_table(lambda p_, x: maskformer_infer_rba(p_, cfg, x), params, img)
+            for k, v in sorted(table.items()):
+                print(f"  {k}: {v / 1e9:.1f} GFLOPs")
+        elif task == "activation":
+            img = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
+            acts = activation_count(lambda p_, x: maskformer_infer_rba(p_, cfg, x), params, img)
+            print(f"(Million) activations @{args.height}x{args.width}: {acts:.1f}")
+        elif task == "memory":
+            img = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
+            for k, v in memory_analysis(
+                lambda p_, x: maskformer_infer_rba(p_, cfg, x), params, img
+            ).items():
+                print(f"  {k}: {v:.1f}")
         elif task == "structure":
             print(structure_string(params))
 

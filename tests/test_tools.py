@@ -113,3 +113,56 @@ def test_timm_swin_converter(rng):
     params = jax.tree.map(jnp.asarray, convert_timm_swin(sd, cfg))
     outs = swin_apply(params, cfg.swin, jnp.zeros((1, 64, 64, 3)), compute_dtype=jnp.float32)
     assert set(outs) == set(cfg.swin.out_features)
+
+
+def test_clustering_methods_full_surface(rng):
+    """Reference vis_utils parity surface: all five clustering methods,
+    PCA variance threshold, elbow + silhouette model selection."""
+    from rba_tpu.tools.vis_utils import (
+        apply_kmeans,
+        cluster_with_dbscan,
+        cluster_with_hdbscan,
+        cluster_with_meanshift,
+        cluster_with_optics,
+        find_n_clusters_elbow_method,
+        find_pca_n_components_for_variance_threshold,
+        pca_explained_variance,
+        plot_clusters,
+        silhouette_scores,
+    )
+
+    x = np.concatenate([rng.randn(30, 6) + 4, rng.randn(30, 6) - 4])
+    labels, centers = apply_kmeans(x, 2)
+    assert len(np.unique(labels)) == 2 and centers.shape == (2, 6)
+    labels, _ = cluster_with_meanshift(x)
+    assert len(np.unique(labels)) >= 1
+    assert cluster_with_dbscan(x, eps=3.0).shape == (60,)
+    assert cluster_with_optics(x, min_samples=5).shape == (60,)
+    assert cluster_with_hdbscan(x).shape == (60,)
+
+    vr = pca_explained_variance(x)
+    assert find_pca_n_components_for_variance_threshold(vr, 0.99) >= 1
+    ks, inertias = find_n_clusters_elbow_method(x, 1, 3)
+    assert inertias[0] > inertias[-1]  # inertia decreases with k
+    ks, scores = silhouette_scores(x, 2, 3)
+    assert scores[0] > 0.5  # well-separated blobs
+
+    labels, coords = plot_clusters(x, method="kmeans", cluster_mode="pca", k=2)
+    assert labels.shape == (60,) and coords.shape == (60, 2)
+
+
+def test_analyze_model_activation_and_flop_table():
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.models.maskformer import maskformer_infer_rba, maskformer_init
+    from rba_tpu.tools.analyze_model import activation_count, flop_table
+
+    cfg = tiny_test_config()
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    fn = lambda p, x: maskformer_infer_rba(p, cfg, x)
+    table = flop_table(fn, params, img)
+    assert table.get("dot_general", 0) > 0 and table.get("conv", 0) > 0
+    assert activation_count(fn, params, img) > 0
