@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 try:
-    from PIL import Image, ImageEnhance
+    from PIL import Image
 except ImportError:  # pragma: no cover
     Image = None
 
@@ -70,23 +70,95 @@ def random_crop(rng: random.Random, image, sem_seg, crop_hw: Tuple[int, int],
     return image[y : y + ch, x : x + cw], sem_seg[y : y + ch, x : x + cw]
 
 
+def _rgb_to_hsv_cv2(rgb: np.ndarray) -> np.ndarray:
+    """uint8 RGB → uint8 HSV with OpenCV conventions: H in [0, 180)
+    (degrees/2), S and V in [0, 255] — the color space ColorAugSSDTransform
+    operates in (its saturation/hue ops assume cv2 ranges, NOT PIL's
+    0..255 hue wheel)."""
+    r, g, b = [rgb[..., i].astype(np.float32) for i in range(3)]
+    v = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+    diff = v - mn
+    s = np.where(v > 0, 255.0 * diff / np.maximum(v, 1e-9), 0.0)
+    # cv2 hue: 60*(g-b)/diff if v==r; 120+60*(b-r)/diff if v==g; 240+60*(r-g)/diff
+    d = np.maximum(diff, 1e-9)
+    h = np.where(
+        v == r, 60.0 * (g - b) / d,
+        np.where(v == g, 120.0 + 60.0 * (b - r) / d, 240.0 + 60.0 * (r - g) / d),
+    )
+    h = np.where(diff == 0, 0.0, h)
+    h = np.where(h < 0, h + 360.0, h) / 2.0
+    return np.stack(
+        [np.round(h), np.round(s), np.round(v)], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+
+
+def _hsv_to_rgb_cv2(hsv: np.ndarray) -> np.ndarray:
+    h = hsv[..., 0].astype(np.float32) * 2.0  # degrees
+    s = hsv[..., 1].astype(np.float32) / 255.0
+    v = hsv[..., 2].astype(np.float32)
+    c = v * s
+    hp = h / 60.0
+    x = c * (1.0 - np.abs(hp % 2.0 - 1.0))
+    z = np.zeros_like(c)
+    conds = [(hp < 1), (hp < 2), (hp < 3), (hp < 4), (hp < 5)]
+    r = np.select(conds, [c, x, z, z, x], default=c)
+    g = np.select(conds, [x, c, c, x, z], default=z)
+    b = np.select(conds, [z, z, x, c, c], default=x)
+    m = v - c
+    return np.round(np.stack([r + m, g + m, b + m], axis=-1)).clip(0, 255).astype(np.uint8)
+
+
 def color_aug_ssd(rng: random.Random, image: np.ndarray) -> np.ndarray:
-    """SSD-style photometric distortion (brightness/contrast/saturation/hue),
-    mirroring D2's ColorAugSSDTransform ranges."""
-    img = image.astype(np.float32)
-    if rng.random() < 0.5:  # brightness delta 32
-        img += rng.uniform(-32, 32)
-    if rng.random() < 0.5:  # contrast [0.5, 1.5]
-        img *= rng.uniform(0.5, 1.5)
-    img = np.clip(img, 0, 255).astype(np.uint8)
-    pil = Image.fromarray(img)
-    if rng.random() < 0.5:  # saturation [0.5, 1.5]
-        pil = ImageEnhance.Color(pil).enhance(rng.uniform(0.5, 1.5))
-    if rng.random() < 0.5:  # hue ±18 degrees
-        hsv = np.asarray(pil.convert("HSV")).copy()
-        hsv[:, :, 0] = (hsv[:, :, 0].astype(np.int32) + rng.randint(-18, 18)) % 256
-        pil = Image.fromarray(hsv, "HSV").convert("RGB")
-    return np.asarray(pil)
+    """SSD-style photometric distortion with the exact semantics of
+    point_rend's ColorAugSSDTransform (the class the reference's mappers
+    use): brightness delta ±32; contrast ×[0.5, 1.5] applied randomly
+    either before or after the saturation+hue pair; saturation scales the
+    cv2-HSV S channel; hue shifts the cv2-HSV H channel by an integer in
+    [-18, 18] mod 180 (H lives in [0, 180), degrees/2)."""
+
+    def brightness(img):
+        if rng.random() < 0.5:
+            return np.clip(
+                img.astype(np.float32) + rng.uniform(-32, 32), 0, 255
+            ).astype(np.uint8)
+        return img
+
+    def contrast(img):
+        if rng.random() < 0.5:
+            return np.clip(
+                img.astype(np.float32) * rng.uniform(0.5, 1.5), 0, 255
+            ).astype(np.uint8)
+        return img
+
+    def saturation(img):
+        if rng.random() < 0.5:
+            hsv = _rgb_to_hsv_cv2(img)
+            hsv[..., 1] = np.clip(
+                hsv[..., 1].astype(np.float32) * rng.uniform(0.5, 1.5), 0, 255
+            ).astype(np.uint8)
+            return _hsv_to_rgb_cv2(hsv)
+        return img
+
+    def hue(img):
+        if rng.random() < 0.5:
+            hsv = _rgb_to_hsv_cv2(img)
+            hsv[..., 0] = (
+                hsv[..., 0].astype(np.int32) + rng.randint(-18, 18)
+            ) % 180
+            return _hsv_to_rgb_cv2(hsv)
+        return img
+
+    img = brightness(np.asarray(image, np.uint8))
+    if rng.random() < 0.5:  # random contrast ordering (ColorAugSSD apply_image)
+        img = contrast(img)
+        img = saturation(img)
+        img = hue(img)
+    else:
+        img = saturation(img)
+        img = hue(img)
+        img = contrast(img)
+    return img
 
 
 def extract_bbox(mask: np.ndarray) -> Tuple[int, int, int, int]:

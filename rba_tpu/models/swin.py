@@ -141,9 +141,14 @@ def swin_init(key, cfg: SwinConfig):
 # ---------------------------------------------------------------------------
 
 def _use_fused_attention() -> bool:
-    """Opt-in: measured end-to-end on v5e, XLA's fused softmax pipeline beats
-    the per-window Pallas kernel (91 ms vs 126 ms at Swin-B 1024×2048), so
-    the kernel is kept for experimentation but off by default."""
+    """Opt-in (RBA_TPU_FUSED_ATTENTION=1): the grouped v3 Pallas kernel
+    (ops/pallas/window_attention.py) wins on ISOLATED attention ops on v5e
+    (per masked block-equivalent at 1024×2048: 3.6 vs 6.1 ms stage1, 1.8 vs
+    3.3 stage2, 1.2 vs 2.1 stage3) but LOSES in-model (94 vs 60 ms full
+    Swin-B inference): inside the model XLA fuses the qkv-output layout into
+    the attention pipeline, while the kernel boundary forces explicit
+    (nh, N, hd) relayouts whose HBM traffic exceeds the VMEM-score savings.
+    Kept for experimentation; the XLA path is the production default."""
     import os
 
     return bool(os.environ.get("RBA_TPU_FUSED_ATTENTION")) and jax.default_backend() == "tpu"
@@ -173,12 +178,12 @@ def _window_attention(
 
     if _use_fused_attention():
         # fused Pallas path: scores never materialize in HBM
-        from ..ops.pallas.window_attention import window_attention_fused
+        from ..ops.pallas.window_attention import window_attention_fused_v3
 
         qh = jnp.transpose(q, (0, 1, 3, 2, 4))  # (B, nW, nh, N, hd)
         kh = jnp.transpose(k, (0, 1, 3, 2, 4))
         vh = jnp.transpose(v, (0, 1, 3, 2, 4))
-        out = window_attention_fused(qh, kh, vh, rel_bias, mask, scale)
+        out = window_attention_fused_v3(qh, kh, vh, rel_bias, mask, scale)
         out = jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(b, nhw, nww, n, c)
         return linear(attn_params["proj"], out)
 

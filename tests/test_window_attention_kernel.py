@@ -35,3 +35,32 @@ def test_fused_window_attention_interpret(rng, with_mask):
         window_attention_fused(q, k, v, rel_bias, mask, scale, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_v3_matches_xla_grouped(rng):
+    """v3 (grouped windows + batched dot) vs the plain jnp formulation,
+    masked and unmasked, at a group size > 1."""
+    import jax
+
+    from rba_tpu.ops.pallas.window_attention import window_attention_fused_v3
+
+    nw, nh, n, hd = 8, 4, 144, 32
+    q = jnp.asarray(rng.randn(1, nw, nh, n, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(1, nw, nh, n, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(1, nw, nh, n, hd), jnp.float32)
+    bias = jnp.asarray(rng.randn(nh, n, n), jnp.float32)
+    mask = ((rng.rand(nw, n, n) > 0.5) * -100.0).astype(np.float32)
+    scale = hd**-0.5
+
+    def ref(mask_arr):
+        attn = jnp.einsum("bwhqd,bwhkd->bwhqk", q * scale, k)
+        attn = attn + bias[None, None]
+        if mask_arr is not None:
+            attn = attn + jnp.asarray(mask_arr)[None, :, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("bwhqk,bwhkd->bwhqd", attn, v)
+
+    got = window_attention_fused_v3(q, k, v, bias, mask, scale, interpret=True, group=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(mask)), rtol=1e-5, atol=1e-5)
+    got = window_attention_fused_v3(q, k, v, bias, None, scale, interpret=True, group=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(None)), rtol=1e-5, atol=1e-5)
