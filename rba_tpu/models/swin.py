@@ -193,11 +193,25 @@ def _window_attention(
     fast = bool(os.environ.get("RBA_TPU_FAST_MATH"))
     score_t = x.dtype if fast else jnp.float32
     attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k, preferred_element_type=score_t)
-    attn = attn + rel_bias[None, None].astype(score_t)
-    if mask is not None:
-        attn = attn + jnp.asarray(mask, score_t)[None, :, None]
 
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    if not fast and jax.default_backend() == "tpu" and os.environ.get(
+        "RBA_TPU_FUSED_SOFTMAX"
+    ):
+        # fused add+softmax kernel (opt-in): identical fp32 math, one read
+        # of the fp32 scores + one bf16 write instead of XLA's four passes.
+        # Measured SLOWER in-model on the v5e tunnel runtime (83 vs 59 ms
+        # full inference) despite the traffic win — consistent with ~1 ms
+        # fixed overhead per mid-graph pallas_call (the same pattern sank
+        # the v1/v3 attention kernels; the production fused_rba tail kernel
+        # is fine because it is a single call per inference).
+        from ..ops.pallas.masked_softmax import masked_softmax_bf16
+
+        attn = masked_softmax_bf16(attn, rel_bias, mask, out_dtype=x.dtype)
+    else:
+        attn = attn + rel_bias[None, None].astype(score_t)
+        if mask is not None:
+            attn = attn + jnp.asarray(mask, score_t)[None, :, None]
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, nhw, nww, n, c)
     return linear(attn_params["proj"], out)

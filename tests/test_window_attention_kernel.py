@@ -64,3 +64,29 @@ def test_v3_matches_xla_grouped(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(mask)), rtol=1e-5, atol=1e-5)
     got = window_attention_fused_v3(q, k, v, bias, None, scale, interpret=True, group=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(None)), rtol=1e-5, atol=1e-5)
+
+
+def test_masked_softmax_kernel_matches_xla(rng):
+    """Fused add+softmax kernel: bit-level parity with the jnp formulation
+    across head-split grid configurations."""
+    import jax
+
+    from rba_tpu.ops.pallas.masked_softmax import masked_softmax_bf16
+
+    for nw, nh in [(12, 4), (6, 16)]:
+        n = 144
+        s = jnp.asarray(rng.randn(1, nw, nh, n, n) * 3, jnp.float32)
+        bias = jnp.asarray(rng.randn(nh, n, n), jnp.float32)
+        mask = ((rng.rand(nw, n, n) > 0.5) * -100.0).astype(np.float32)
+        want = jax.nn.softmax(
+            s + bias[None, None] + jnp.asarray(mask)[None, :, None], -1
+        ).astype(jnp.bfloat16)
+        got = masked_softmax_bf16(s, bias, mask, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
+        )
+        got2 = masked_softmax_bf16(s, bias, None, interpret=True)
+        want2 = jax.nn.softmax(s + bias[None, None], -1).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(got2.astype(jnp.float32)), np.asarray(want2.astype(jnp.float32))
+        )
