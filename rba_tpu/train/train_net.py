@@ -41,16 +41,27 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mapper", default=None,
-                   choices=[None, "mask_former_semantic", "mask_former_semantic_coco_mix"])
+                   choices=[None, "mask_former_semantic", "mask_former_semantic_coco_mix",
+                            "mask_former_semantic_void",
+                            "mask_former_semantic_street_hazards",
+                            "mask_former_semantic_street_hazards_coco_mix"])
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient-accumulation steps (global batch = "
+                        "batch_size x grad_accum)")
     return p.parse_args(argv)
 
 
 def build_mapper(cfg, args):
+    """Mapper dispatch by INPUT.DATASET_MAPPER_NAME (reference
+    train_net.py:170-209), overridable with --mapper."""
     from ..data.mappers import (
         COCOProxyDataset,
         MapperConfig,
         SemanticCocoMixDatasetMapper,
         SemanticDatasetMapper,
+        SemanticVoidDatasetMapper,
+        StreetHazardsCocoMixMapper,
+        StreetHazardsMapper,
     )
 
     # each target needs a distinct query — cap the static target padding
@@ -61,11 +72,20 @@ def build_mapper(cfg, args):
     mapper_name = args.mapper or (
         "mask_former_semantic_coco_mix" if cfg.ood.outlier_supervision else "mask_former_semantic"
     )
-    if mapper_name == "mask_former_semantic_coco_mix":
+
+    def coco():
         if not args.coco_root:
-            raise ValueError("--coco-root required for the coco_mix mapper")
-        coco = COCOProxyDataset(args.coco_root, proxy_size=300)
-        return SemanticCocoMixDatasetMapper(mcfg, coco, ood_prob=cfg.ood.ood_prob, seed=args.seed)
+            raise ValueError("--coco-root required for coco_mix mappers")
+        return COCOProxyDataset(args.coco_root, proxy_size=300)
+
+    if mapper_name == "mask_former_semantic_coco_mix":
+        return SemanticCocoMixDatasetMapper(mcfg, coco(), ood_prob=cfg.ood.ood_prob, seed=args.seed)
+    if mapper_name == "mask_former_semantic_void":
+        return SemanticVoidDatasetMapper(mcfg, seed=args.seed)
+    if mapper_name == "mask_former_semantic_street_hazards":
+        return StreetHazardsMapper(mcfg, seed=args.seed)
+    if mapper_name == "mask_former_semantic_street_hazards_coco_mix":
+        return StreetHazardsCocoMixMapper(mcfg, coco(), ood_prob=cfg.ood.ood_prob, seed=args.seed)
     return SemanticDatasetMapper(mcfg, seed=args.seed)
 
 
@@ -125,7 +145,7 @@ def main(argv=None):
             start = step0
             print(f"resumed from step {step0}")
 
-    step_fn = make_train_step(cfg, mesh)
+    step_fn = make_train_step(cfg, mesh, grad_accum=max(1, args.grad_accum))
     it = data_iterator(cfg, args, batch_size)
     log_path = os.path.join(args.output_dir, "metrics.jsonl")
 

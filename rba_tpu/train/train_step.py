@@ -37,10 +37,15 @@ def make_train_state(rng: jax.Array, cfg: RbAConfig) -> TrainState:
     )
 
 
-def make_train_step(cfg: RbAConfig, mesh: Mesh):
+def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1):
     """Returns a jitted (state, batch) -> (state, metrics) step.  ``batch``:
     images (B,H,W,3) raw RGB; gt_labels (B,T); gt_masks (B,T,H,W);
-    gt_valid (B,T); optional outlier_masks / sem_seg (B,H,W)."""
+    gt_valid (B,T); optional outlier_masks / sem_seg (B,H,W).
+
+    ``grad_accum`` > 1 splits the leading batch dim into that many
+    micro-batches accumulated with lax.scan before one optimizer update —
+    large global batches (the reference trains at IMS_PER_BATCH 16) without
+    the activation memory; losses are averaged across micro-batches."""
 
     def loss_fn(params, batch, rng):
         images = preprocess(cfg, batch["images"])
@@ -49,11 +54,43 @@ def make_train_step(cfg: RbAConfig, mesh: Mesh):
         losses = criterion(cfg, rng, outputs, targets)
         return losses["total"], losses
 
+    def grads_and_losses(params, batch, rng):
+        if grad_accum <= 1:
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+            return grads, losses
+
+        micro = {
+            k: v.reshape((grad_accum, v.shape[0] // grad_accum) + v.shape[1:])
+            for k, v in batch.items()
+        }
+        rngs = jax.random.split(rng, grad_accum)
+
+        def body(carry, xs):
+            acc, loss_acc = carry
+            mb, r = xs
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, r)
+            acc = jax.tree.map(lambda a, g: a + g, acc, grads)
+            loss_acc = jax.tree.map(lambda a, l: a + l, loss_acc, losses)
+            return (acc, loss_acc), None
+
+        zero_g = jax.tree.map(jnp.zeros_like, params)
+        # shapes only — no extra forward is traced into the program
+        _, loss_shapes = jax.eval_shape(
+            loss_fn, params, jax.tree.map(lambda v: v[0], micro), rngs[0]
+        )
+        zero_l = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), loss_shapes)
+        (acc, loss_acc), _ = jax.lax.scan(body, (zero_g, zero_l), (micro, rngs))
+        inv = 1.0 / grad_accum
+        return (
+            jax.tree.map(lambda g: g * inv, acc),
+            jax.tree.map(lambda l: l * inv, loss_acc),
+        )
+
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
         rng, sub = jax.random.split(state.rng)
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sub
-        )
+        grads, losses = grads_and_losses(state.params, batch, sub)
         # the optimizer is stateless config + masks; building it under jit
         # traces once and folds the masks/multipliers in as constants
         tx = build_optimizer(cfg, state.params)

@@ -167,3 +167,48 @@ def test_train_step_runs_on_mesh(rng):
     # params actually changed
     delta = jax.tree.map(lambda a, b: float(jnp.abs(a - np.asarray(b)).max()), p0, state2.params)
     assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_grad_accum_matches_single_step(rng):
+    """grad_accum=2 over a batch equals the plain step's update on the same
+    batch up to averaging: losses averaged over micro-batches, gradients
+    mean-accumulated.  With identical duplicated micro-batches and a fixed
+    criterion rng, accumulated grads equal the single-micro-batch grads."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.parallel.mesh import make_mesh
+    from rba_tpu.train.train_step import make_train_state, make_train_step
+
+    cfg = tiny_test_config()
+    mesh = make_mesh(1)
+    state1 = make_train_state(jax.random.PRNGKey(0), cfg)
+    state2 = make_train_state(jax.random.PRNGKey(0), cfg)
+
+    h = w = 32
+    t = 4
+    one = {
+        "images": jnp.asarray(rng.rand(1, h, w, 3) * 255, jnp.float32),
+        "gt_labels": jnp.zeros((1, t), jnp.int32),
+        "gt_masks": jnp.asarray((rng.rand(1, t, h, w) > 0.5).astype(np.float32)),
+        "gt_valid": jnp.asarray([[1, 1, 0, 0]], jnp.float32),
+        "sem_seg": jnp.zeros((1, h, w), jnp.int32),
+    }
+    two = {k: jnp.concatenate([v, v], axis=0) for k, v in one.items()}
+
+    step1 = make_train_step(cfg, mesh, grad_accum=1)
+    step2 = make_train_step(cfg, mesh, grad_accum=2)
+    s1, m1 = step1(state1, one)
+    s2, m2 = step2(state2, two)
+    # identical duplicated micro-batches -> same per-micro losses; the accum
+    # path averages them, and the point-sampling rngs differ per micro-batch,
+    # so compare at a loose tolerance on the loss and a looser one on params
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=0.15)
+    d = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params))
+    )
+    assert np.isfinite(d) and d < 1.0
