@@ -150,12 +150,22 @@ def pq_compute_single(
 def pq_compute(
     pairs: Sequence[Tuple[np.ndarray, List[Dict], np.ndarray, List[Dict]]],
     isthing: Optional[Dict[int, bool]] = None,
+    num_workers: int = 0,
 ) -> Dict[str, Dict]:
     """Aggregate PQ over (pred, pred_segments, gt, gt_segments) image tuples.
-    Returns All/Things/Stuff plus Known/Unknown splits (open-world)."""
+    Returns All/Things/Stuff plus Known/Unknown splits (open-world).
+    ``num_workers`` > 0 fans the per-image confusion out over a process pool
+    (the reference's pq_compute_multi_core, evaluation.py:201-236)."""
     total = PQStat()
-    for pan_pred, seg_pred, pan_gt, seg_gt in pairs:
-        total += pq_compute_single(pan_pred, seg_pred, pan_gt, seg_gt)
+    if num_workers > 0 and len(pairs) > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(num_workers) as pool:
+            for stat in pool.starmap(pq_compute_single, pairs):
+                total += stat
+    else:
+        for pan_pred, seg_pred, pan_gt, seg_gt in pairs:
+            total += pq_compute_single(pan_pred, seg_pred, pan_gt, seg_gt)
 
     results: Dict[str, Dict] = {}
     results["All"], per_class = total.pq_average()

@@ -196,6 +196,48 @@ def mask_average_precision(
     }
 
 
+def open_world_ap(
+    predictions: List[Dict[str, np.ndarray]],
+    ground_truths: List[Dict[str, np.ndarray]],
+    unknown_class: int,
+) -> Dict[str, float]:
+    """Open-world instance AP split (reference COCOOpeneval,
+    evaluation.py:352-730): AP over the known classes (unknown instances
+    removed from both sides) and class-agnostic AP over the unknown
+    instances alone."""
+
+    def select(items, keep_unknown):
+        out = []
+        for it in items:
+            cls_key = "pred_classes" if "pred_classes" in it else "classes"
+            mask_key = "pred_masks" if "pred_masks" in it else "masks"
+            cls = it[cls_key]
+            sel = (cls == unknown_class) if keep_unknown else (cls != unknown_class)
+            d = {mask_key: it[mask_key][sel], cls_key: np.zeros(sel.sum(), np.int64)
+                 if keep_unknown else cls[sel]}
+            if "scores" in it:
+                d["scores"] = it["scores"][sel]
+            out.append(d)
+        return out
+
+    n_known = int(
+        max(
+            [g["classes"].max(initial=-1) for g in ground_truths]
+            + [p["pred_classes"].max(initial=-1) for p in predictions]
+        )
+    ) + 1
+    known = mask_average_precision(
+        select(predictions, False), select(ground_truths, False), num_classes=n_known
+    )
+    unknown = mask_average_precision(
+        select(predictions, True), select(ground_truths, True), num_classes=1
+    )
+    return {
+        "AP_known": known["AP"], "AP50_known": known["AP50"],
+        "AP_unknown": unknown["AP"], "AP50_unknown": unknown["AP50"],
+    }
+
+
 class InstanceEvaluator:
     """Mask-AP evaluator over a dataset (reference instance_evaluation.py)."""
 

@@ -127,3 +127,39 @@ def test_mask_ap_cocoeval_fixture():
     np.testing.assert_allclose(res["AP50"], 1.0, atol=1e-12)
     np.testing.assert_allclose(res["AP75"], 51 / 101, atol=1e-12)
     np.testing.assert_allclose(res["AP"], expected_ap, atol=1e-12)
+
+
+def test_pq_multiprocessing_matches_serial():
+    h = w = 20
+    gt = _rect(h, w, 0, 10, 0, 10, 1)
+    pred = _rect(h, w, 0, 10, 0, 8, 1)
+    seg = [{"id": 1, "category_id": 1}]
+    pairs = [(pred, seg, gt, seg)] * 4
+    serial = pq_compute(pairs)
+    par = pq_compute(pairs, num_workers=2)
+    assert serial["All"] == par["All"]
+
+
+def test_open_world_ap_split():
+    from rba_tpu.evalx.seg_evaluators import open_world_ap
+
+    h = w = 16
+    g_known = np.zeros((h, w), bool); g_known[:8, :8] = True
+    g_unknown = np.zeros((h, w), bool); g_unknown[8:, 8:] = True
+    gts = [{"masks": np.stack([g_known, g_unknown]).astype(np.float32),
+            "classes": np.array([2, 255])}]
+    preds = [{
+        "pred_masks": np.stack([g_known, g_unknown]).astype(np.float32),
+        "scores": np.array([0.9, 0.8], np.float32),
+        "pred_classes": np.array([2, 255]),
+    }]
+    res = open_world_ap(preds, gts, unknown_class=255)
+    np.testing.assert_allclose(res["AP_known"], 1.0)
+    np.testing.assert_allclose(res["AP_unknown"], 1.0)
+
+    # unknown prediction misplaced -> unknown AP drops, known unaffected
+    bad = np.zeros((h, w), bool); bad[:4, 8:] = True
+    preds[0]["pred_masks"] = np.stack([g_known, bad]).astype(np.float32)
+    res = open_world_ap(preds, gts, unknown_class=255)
+    np.testing.assert_allclose(res["AP_known"], 1.0)
+    assert res["AP_unknown"] == 0.0
