@@ -199,11 +199,15 @@ def _window_attention(
     ):
         # fused add+softmax kernel (opt-in): identical fp32 math, one read
         # of the fp32 scores + one bf16 write instead of XLA's four passes.
-        # Measured SLOWER in-model on the v5e tunnel runtime (83 vs 59 ms
-        # full inference) despite the traffic win — consistent with ~1 ms
-        # fixed overhead per mid-graph pallas_call (the same pattern sank
-        # the v1/v3 attention kernels; the production fused_rba tail kernel
-        # is fine because it is a single call per inference).
+        # Measured SLOWER in-model (83 vs 59 ms full inference) despite the
+        # traffic win.  Root cause (consistent across v1/v3 attention and
+        # this kernel): ~30 µs Mosaic grid-STEP overhead — window-granular
+        # blocks are a few µs of real work each, and growing blocks enough
+        # to amortize the overhead exceeds the 16 MB scoped-VMEM limit
+        # (softmax holds several block-sized fp32 temporaries), while
+        # manual-DMA streaming inside a step hard-faults this tunnel's AOT
+        # worker (CLAUDE.md).  The single-call fused_rba tail kernel wins
+        # because its blocks are large and its per-step work is ~ms-scale.
         from ..ops.pallas.masked_softmax import masked_softmax_bf16
 
         attn = masked_softmax_bf16(attn, rel_bias, mask, out_dtype=x.dtype)
