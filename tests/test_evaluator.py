@@ -110,3 +110,45 @@ def test_sweep_cli_on_synthetic(tmp_path, monkeypatch):
     with open(os.path.join(out, "tiny", "results.json")) as f:
         res = json.load(f)
     assert "synthetic" in res and "aupr" in res["synthetic"]
+
+
+def test_support_surface(rng):
+    """support.py helper parity: score-fn variants, logistic, colormap,
+    proc_img, resize_mask (reference support.py:27-226)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.evalx.support import (
+        get_logits,
+        get_logits_plus,
+        get_neg_logit_sum,
+        get_RbA,
+        get_seg_colormap,
+        logistic,
+        proc_img,
+        resize_mask,
+    )
+    from rba_tpu.models.maskformer import maskformer_init
+
+    cfg = tiny_test_config()
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    img = rng.rand(1, 32, 32, 3).astype(np.float32) * 255
+
+    logits = get_logits(params, cfg, img)
+    assert logits.shape == (1, cfg.num_classes, 32, 32)
+    l2, aux = get_logits_plus(params, cfg, img, return_aux=True)
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(logits))
+    assert "rba" in aux
+    np.testing.assert_allclose(
+        np.asarray(get_RbA(params, cfg, img)),
+        -np.tanh(np.asarray(logits)).sum(1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(get_neg_logit_sum(params, cfg, img)),
+        -np.asarray(logits).sum(1), rtol=1e-6)
+
+    np.testing.assert_allclose(float(logistic(0.0)), 0.5)
+    assert proc_img(rng.rand(3, 8, 9)).shape == (8, 9, 3)
+    cm = get_seg_colormap(np.array([[0, 1], [1, 0]]), [(255, 0, 0), (0, 255, 0)])
+    np.testing.assert_array_equal(cm[0, 0], [255, 0, 0])
+    assert resize_mask(rng.rand(1, 1, 8, 8).astype(np.float32), (16, 16)).shape == (1, 1, 16, 16)
