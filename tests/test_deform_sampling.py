@@ -1,5 +1,8 @@
 import numpy as np
+import pytest
 import torch
+
+from tests.torch_refs import torch_ms_deform_attn_core
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +72,39 @@ def test_deform_core_grad_value_matches_torch(rng):
     tl = torch.from_numpy(loc).requires_grad_(True)
     out = torch_ms_deform_attn_core(tv, list(shapes), tl, torch.from_numpy(aw))
     out.pow(2).sum().backward()
+
+    def f(v, l):
+        return jnp.sum(ms_deform_attn_core(v, shapes, l, jnp.asarray(aw)) ** 2)
+
+    gv, gl = jax.grad(f, argnums=(0, 1))(jnp.asarray(value), jnp.asarray(loc))
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("d", [30, 32, 64, 71])
+def test_deform_core_channel_sizes(rng, d):
+    """The reference's kernel parity test sweeps odd/even channel sizes
+    (ops/test.py:35-89: {30, 32, 64, 71, 1025, ...}); the large ones only
+    probe its im2col_step chunking, which has no analogue here."""
+    value, loc, aw, shapes = _random_inputs(rng, n=1, m=2, d=d, p=2)
+    want = torch_ms_deform_attn_core(
+        torch.from_numpy(value), list(shapes), torch.from_numpy(loc), torch.from_numpy(aw)
+    ).numpy()
+    got = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [30, 71])
+def test_deform_core_grads_odd_channels(rng, d):
+    """gradcheck analogue at odd channel sizes: grads w.r.t. value and
+    locations match torch autograd (reference gradcheck, ops/test.py:61-89)."""
+    value, loc, aw, shapes = _random_inputs(rng, n=1, m=2, d=d, p=2, shapes=((5, 7),))
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    out = torch_ms_deform_attn_core(tv, list(shapes), tl, torch.from_numpy(aw))
+    (out ** 2).sum().backward()
 
     def f(v, l):
         return jnp.sum(ms_deform_attn_core(v, shapes, l, jnp.asarray(aw)) ** 2)
