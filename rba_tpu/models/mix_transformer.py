@@ -107,9 +107,11 @@ def _attention(p, x, h, w, num_heads, sr_ratio, eps):
         kv_in = x
     kv = linear(p["kv"], kv_in).reshape(b, -1, 2, num_heads, hd)
     k, v = kv[:, :, 0], kv[:, :, 1]
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    attn = attn * (hd**-0.5)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    # AMP-exact placement (torch autocast): logits stay in compute dtype
+    # (bf16 matmul output on TPU), softmax upcasts to fp32 internally.
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=x.dtype)
+    attn = attn * jnp.asarray(hd**-0.5, x.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
     return linear(p["proj"], out.astype(x.dtype).reshape(b, n, c))
 

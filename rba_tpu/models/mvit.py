@@ -185,17 +185,18 @@ def _ms_attention(p, x, s, cfg: MViTConfig):
     kf = k.reshape(k.shape[0], kv_hw[0] * kv_hw[1], hd)
     vf = v.reshape(v.shape[0], kv_hw[0] * kv_hw[1], hd)
 
-    attn = jnp.einsum("bqd,bkd->bqk", qf * (hd**-0.5), kf, preferred_element_type=jnp.float32)
+    # AMP-exact placement (torch autocast): compute-dtype logits, fp32 softmax
+    attn = jnp.einsum("bqd,bkd->bqk", qf * (hd**-0.5), kf, preferred_element_type=x.dtype)
     if cfg.use_rel_pos:
-        rh = _rel_pos_resampled(p["rel_pos_h"].astype(jnp.float32), q_hw[0], kv_hw[0])
-        rw = _rel_pos_resampled(p["rel_pos_w"].astype(jnp.float32), q_hw[1], kv_hw[1])
-        r_q = qf.reshape(-1, q_hw[0], q_hw[1], hd).astype(jnp.float32)
-        rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)
-        rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)
+        rh = _rel_pos_resampled(p["rel_pos_h"].astype(x.dtype), q_hw[0], kv_hw[0])
+        rw = _rel_pos_resampled(p["rel_pos_w"].astype(x.dtype), q_hw[1], kv_hw[1])
+        r_q = qf.reshape(-1, q_hw[0], q_hw[1], hd)
+        rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh, preferred_element_type=x.dtype)
+        rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw, preferred_element_type=x.dtype)
         attn = attn.reshape(-1, q_hw[0], q_hw[1], kv_hw[0], kv_hw[1])
         attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
         attn = attn.reshape(-1, q_hw[0] * q_hw[1], kv_hw[0] * kv_hw[1])
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bqk,bkd->bqd", attn, vf, preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(-1, q_hw[0], q_hw[1], hd)
 

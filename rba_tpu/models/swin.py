@@ -187,11 +187,24 @@ def _window_attention(
         out = jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(b, nhw, nww, n, c)
         return linear(attn_params["proj"], out)
 
-    # XLA reference path
+    # XLA reference path.
+    #
+    # Dtype placement mirrors torch autocast (the reference's AMP mode,
+    # SOLVER.AMP.ENABLED, ckpts/*/config.yaml): the qk matmul emits
+    # compute-dtype logits (cublas bf16 gemm writes bf16), the fp32
+    # rel-pos-bias add upcasts, softmax runs fp32, and the probs round back
+    # to compute dtype for the @v matmul.  RBA_TPU_STRICT_SCORES=1 restores
+    # fp32-materialized logits — *stricter* than the reference's own AMP
+    # execution.  (Measured on v5e at Swin-B 1024x2048: end-to-end device
+    # time is the same either way — XLA materializes the fp32 biased scores
+    # for the softmax passes regardless, because the upcast+bias-add has
+    # three reduce consumers — so the default is chosen for reference
+    # fidelity, not speed.)
     import os
 
     fast = bool(os.environ.get("RBA_TPU_FAST_MATH"))
-    score_t = x.dtype if fast else jnp.float32
+    strict = bool(os.environ.get("RBA_TPU_STRICT_SCORES"))
+    score_t = jnp.float32 if strict and not fast else x.dtype
     attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k, preferred_element_type=score_t)
 
     if not fast and jax.default_backend() == "tpu" and os.environ.get(
@@ -212,9 +225,10 @@ def _window_attention(
 
         attn = masked_softmax_bf16(attn, rel_bias, mask, out_dtype=x.dtype)
     else:
-        attn = attn + rel_bias[None, None].astype(score_t)
+        sm_t = x.dtype if fast else jnp.float32
+        attn = attn.astype(sm_t) + rel_bias[None, None].astype(sm_t)
         if mask is not None:
-            attn = attn + jnp.asarray(mask, score_t)[None, :, None]
+            attn = attn + jnp.asarray(mask, sm_t)[None, :, None]
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, nhw, nww, n, c)

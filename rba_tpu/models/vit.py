@@ -73,20 +73,22 @@ def _attention(p, x, num_heads: int, use_rel_pos: bool):
     k = qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(b * num_heads, n, hd)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(b * num_heads, n, hd)
 
-    attn = jnp.einsum("bqd,bkd->bqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32)
+    # AMP-exact placement (torch autocast): the qk and rel-pos einsums emit
+    # compute-dtype logits (bf16 on TPU), softmax upcasts to fp32 internally.
+    attn = jnp.einsum("bqd,bkd->bqk", q * (hd**-0.5), k, preferred_element_type=x.dtype)
 
     if use_rel_pos:
         # add_decomposed_rel_pos (utils.py:101-130)
-        rh = _rel_pos_resampled(p["rel_pos_h"].astype(jnp.float32), h, h)  # (h, h, hd)
-        rw = _rel_pos_resampled(p["rel_pos_w"].astype(jnp.float32), w, w)
-        r_q = q.reshape(b * num_heads, h, w, hd).astype(jnp.float32)
-        rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)
-        rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)
+        rh = _rel_pos_resampled(p["rel_pos_h"].astype(x.dtype), h, h)  # (h, h, hd)
+        rw = _rel_pos_resampled(p["rel_pos_w"].astype(x.dtype), w, w)
+        r_q = q.reshape(b * num_heads, h, w, hd)
+        rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh, preferred_element_type=x.dtype)
+        rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw, preferred_element_type=x.dtype)
         attn = attn.reshape(b * num_heads, h, w, h, w)
         attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
         attn = attn.reshape(b * num_heads, n, n)
 
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bqk,bkd->bqd", attn, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, num_heads, h, w, hd)
     out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, h, w, c)
