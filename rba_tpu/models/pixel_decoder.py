@@ -30,6 +30,7 @@ from ..config import PixelDecoderConfig
 from ..ops.deform_sampling import ms_deform_attn_core
 from ..ops.nn import (
     conv2d,
+    conv2d_3x3_rowtiled,
     group_norm,
     init_conv2d,
     init_layer_norm,
@@ -273,7 +274,7 @@ def pixel_decoder_apply(
         lat = group_norm(p["lateral"]["gn"], conv2d(p["lateral"]["conv"], x), num_groups=32)
         up = resize_bilinear_nhwc(out[-1], (lat.shape[1], lat.shape[2]))
         z = lat + up
-        z = conv2d(p["output"]["conv"], z, padding=1)
+        z = conv2d_3x3_rowtiled(p["output"]["conv"], z)
         z = jax.nn.relu(group_norm(p["output"]["gn"], z, num_groups=32))
         out.append(z)
 

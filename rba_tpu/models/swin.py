@@ -348,14 +348,19 @@ def swin_apply(
     if h % p or w % p:
         x = jnp.pad(x, ((0, 0), (0, (p - h % p) % p), (0, (p - w % p) % p), (0, 0)))
 
+    # Patch embed as space-to-depth + matmul: a stride-p conv with C_in=3
+    # hits a degenerate batch-in-sublanes conv emitter on v5e (measured
+    # 1.24 ms vs 0.31 ms at 1024×2048); p strided row-slices reshape W into
+    # (W/p, p·C) groups so the concat lands in exact (dy, dx, c) HWIO
+    # flatten order — bit-identical to the conv (reference swin.py:475-478).
     pe = params["patch_embed"]
-    x = jax.lax.conv_general_dilated(
-        x,
-        pe["proj"]["kernel"].astype(compute_dtype),
-        window_strides=(p, p),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + pe["proj"]["bias"].astype(compute_dtype)
+    b2, hp2, wp2, ci = x.shape
+    rows = [
+        x[:, dy::p].reshape(b2, hp2 // p, wp2 // p, p * ci) for dy in range(p)
+    ]
+    x = jnp.concatenate(rows, axis=-1)
+    kmat = pe["proj"]["kernel"].astype(compute_dtype).reshape(p * p * ci, -1)
+    x = jnp.dot(x, kmat) + pe["proj"]["bias"].astype(compute_dtype)
     if "norm" in pe:
         x = layer_norm(pe["norm"], x)
 

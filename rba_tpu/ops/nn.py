@@ -74,6 +74,39 @@ def conv2d(params, x, stride: int = 1, padding="SAME", feature_group_count: int 
     return y
 
 
+def conv2d_3x3_rowtiled(params, x, rows_per_tile: int = 8):
+    """3×3 stride-1 SAME conv computed with image rows folded into the batch
+    dim (manual space-to-batch, real 1-row halos — numerically identical
+    arithmetic per output pixel).
+
+    XLA's SpaceToBatchConverter performs this rewrite for batch-1 convs in
+    small graphs, but in the full model it never fires on the fp32 FPN
+    output convs, leaving a batch-in-sublanes emitter at ~40% of the
+    space-to-batch speed (profiled on v5e at Swin-B 1024×2048: the res2
+    256×512×256 conv+GN fusion runs 4.3 ms in-model vs ~1.3 ms estimated
+    with the batched emitter).  Falls back to the plain conv when the shape
+    doesn't tile."""
+    n, h, w, c = x.shape
+    if n != 1 or h % rows_per_tile or h <= rows_per_tile:
+        return conv2d(params, x, padding=1)
+    tiles = h // rows_per_tile
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    idx = (
+        np.arange(tiles)[:, None] * rows_per_tile + np.arange(rows_per_tile + 2)[None, :]
+    ).reshape(-1)
+    xt = jnp.take(xp[0], jnp.asarray(idx), axis=0).reshape(tiles, rows_per_tile + 2, w, c)
+    y = jax.lax.conv_general_dilated(
+        xt,
+        params["kernel"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(0, 0), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(x.dtype)
+    return y.reshape(n, h, w, y.shape[-1])
+
+
 def mlp_apply(params, x, act=jax.nn.relu):
     """Multi-layer perceptron: relu between layers, none at the end
     (reference MLP: …/mask2former_transformer_decoder.py:200-212)."""
