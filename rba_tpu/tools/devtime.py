@@ -1,0 +1,112 @@
+"""Device-time probe: amortized per-inference device ms via a lax.scan loop.
+
+Why this exists (CLAUDE.md "Environment gotchas"): through the remote TPU
+tunnel a host↔device round-trip costs ~26 ms and ``block_until_ready`` does
+not reliably block, so single-call wall-clock timing is useless.  This tool
+jits a ``lax.scan`` of N back-to-back inferences (iterations serialized with
+``lax.optimization_barrier`` so XLA cannot hoist the loop-invariant work) and
+fetches ONE scalar per repetition — the RTT amortizes to ~26/N ms and is
+additionally subtracted via a no-op fetch probe.
+
+Usage (real TPU):
+    python -m rba_tpu.tools.devtime                 # parity mode
+    python -m rba_tpu.tools.devtime --fast          # fast serving mode
+    python -m rba_tpu.tools.devtime --hw 512x1024 --iters 32
+
+Prints one JSON line: {"mode", "hw", "device_ms_per_img", "imgs_per_sec", ...}.
+
+Reference analogue: none — the reference publishes no throughput numbers
+(SURVEY.md §6); this is the rebuild's own perf instrumentation.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="/root/reference/ckpts/swin_b_1dl/config.yaml")
+    ap.add_argument("--hw", default="1024x2048", help="input HxW")
+    ap.add_argument("--iters", type=int, default=16, help="inferences per scan/fetch")
+    ap.add_argument("--reps", type=int, default=6, help="timed scan fetches")
+    ap.add_argument(
+        "--fast",
+        action="store_true",
+        help="fast serving mode: pixel_decoder_dtype=bfloat16 + RBA_TPU_FAST_MATH=1",
+    )
+    args = ap.parse_args(argv)
+
+    if args.fast:
+        os.environ["RBA_TPU_FAST_MATH"] = "1"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rba_tpu.config import load_d2_config
+    from rba_tpu.models.maskformer import maskformer_infer_rba, maskformer_init
+
+    cfg = load_d2_config(args.config)
+    if args.fast:
+        cfg = dataclasses.replace(cfg, pixel_decoder_dtype="bfloat16")
+
+    h, w = (int(v) for v in args.hw.split("x"))
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, h, w, 3) * 255, jnp.float32)
+
+    @jax.jit
+    def loop(params, img):
+        def body(carry, _):
+            # chain iterations through a real (but numerically invisible,
+            # ~1e-37 on [0,255] pixels) data dependency: this tunnel's AOT
+            # compiler hoists loop-invariant work even across
+            # lax.optimization_barrier (measured: the barrier form ran the
+            # model once for a 16-iteration scan)
+            im = img + carry * jnp.float32(1e-38)
+            r = maskformer_infer_rba(params, cfg, im)
+            return jnp.mean(r), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.iters)
+        return out
+
+    # no-op RTT probe (scalar fetch of an already-resident value)
+    noop = jax.jit(lambda x: x + 1.0)
+    float(noop(jnp.float32(0)))
+    rtts = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(noop(jnp.float32(0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    float(loop(params, img))  # compile + warmup
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        float(loop(params, img))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    dev_ms = (best - rtt) / args.iters * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "mode": "fast" if args.fast else "parity",
+                "hw": args.hw,
+                "device_ms_per_img": round(dev_ms, 2),
+                "imgs_per_sec": round(1000.0 / dev_ms, 2),
+                "rtt_ms": round(rtt * 1000.0, 2),
+                "iters": args.iters,
+                "reps": args.reps,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -212,3 +212,35 @@ def test_grad_accum_matches_single_step(rng):
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params))
     )
     assert np.isfinite(d) and d < 1.0
+
+
+def test_training_converges_on_fixed_batch(rng):
+    """Loss-curve sanity (SURVEY.md §4d analogue on synthetic data): repeated
+    steps on one fixed batch must drive the total loss down substantially —
+    catches sign/wiring bugs in matcher→criterion→grad→optimizer that a
+    single-step smoke test cannot."""
+    import dataclasses
+
+    from rba_tpu.config import SolverConfig
+    from rba_tpu.parallel.mesh import make_mesh
+    from rba_tpu.train.train_step import make_train_state, make_train_step
+
+    cfg = tiny_test_config()
+    # constant LR (no poly decay / warmup) so the overfit signal is clean
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, base_lr=5e-4, max_iter=10**9)
+    )
+    mesh = make_mesh(1)
+    state = make_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, mesh)
+    batch = _tiny_batch(np.random.RandomState(0), cfg, b=1, hw=32)
+
+    losses = []
+    for _ in range(16):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total"]))
+    assert all(np.isfinite(losses)), losses
+    early = np.mean(losses[:3])
+    late = np.mean(losses[-3:])
+    # measured deterministic trajectory: 29.9 -> 22.2 (ratio 0.74)
+    assert late < 0.8 * early, (early, late, losses)
