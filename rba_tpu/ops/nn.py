@@ -61,6 +61,18 @@ def conv2d(params, x, stride: int = 1, padding="SAME", feature_group_count: int 
     fp32-pinned pixel decoder at Swin-B 1024×2048."""
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    kh, kw = params["kernel"].shape[:2]
+    if kh == 1 and kw == 1 and stride == 1 and feature_group_count == 1:
+        # 1×1 stride-1 conv as a channel matmul: batch-1 NHWC convs hit a
+        # batch-in-sublanes conv emitter that also pins degenerate
+        # T(1,128)/T(2,128) output layouts on the fp32 FPN tail, dragging
+        # follow-up relayout copies (profiled on v5e at Swin-B 1024×2048:
+        # mask_features 1×1 conv 0.66 ms + 0.41 ms copy; the dot form takes
+        # the plain matmul emitter).  Identical contraction (over C only).
+        y = jnp.dot(x, params["kernel"].astype(x.dtype).reshape(x.shape[-1], -1))
+        if "bias" in params and params["bias"] is not None:
+            y = y + params["bias"].astype(x.dtype)
+        return y
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"].astype(x.dtype),
