@@ -324,11 +324,14 @@ def _patch_merging(params, x: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
     if h % 2 or w % 2:
         x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
-    x0 = x[:, 0::2, 0::2]
-    x1 = x[:, 1::2, 0::2]
-    x2 = x[:, 0::2, 1::2]
-    x3 = x[:, 1::2, 1::2]
-    x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+    h2, w2 = x.shape[1] // 2, x.shape[2] // 2
+    # space-to-depth via reshape/transpose instead of 4 strided slices +
+    # concat: identical values — concat([ee, oe, eo, oo], -1) is the
+    # (dx, dy, c)-major flatten, dx = column parity outer, dy = row parity
+    # inner — in one layout-friendly op.
+    x = x.reshape(b, h2, 2, w2, 2, c)          # (b, h2, dy, w2, dx, c)
+    x = jnp.transpose(x, (0, 1, 3, 4, 2, 5))   # (b, h2, w2, dx, dy, c)
+    x = x.reshape(b, h2, w2, 4 * c)
     x = layer_norm(params["norm"], x)
     return linear(params["reduction"], x)
 

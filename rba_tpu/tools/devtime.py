@@ -3,9 +3,10 @@
 Why this exists (CLAUDE.md "Environment gotchas"): through the remote TPU
 tunnel a host↔device round-trip costs ~26 ms and ``block_until_ready`` does
 not reliably block, so single-call wall-clock timing is useless.  This tool
-jits a ``lax.scan`` of N back-to-back inferences (iterations serialized with
-``lax.optimization_barrier`` so XLA cannot hoist the loop-invariant work) and
-fetches ONE scalar per repetition — the RTT amortizes to ~26/N ms and is
+jits a ``lax.scan`` of N back-to-back inferences (iterations serialized via
+a numerically-invisible carry data dependency, since the tunnel AOT compiler
+hoists loop-invariant work even across ``optimization_barrier``) and fetches
+ONE scalar per repetition — the RTT amortizes to ~26/N ms and is
 additionally subtracted via a no-op fetch probe.
 
 Usage (real TPU):
@@ -31,6 +32,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="/root/reference/ckpts/swin_b_1dl/config.yaml")
     ap.add_argument("--hw", default="1024x2048", help="input HxW")
+    ap.add_argument("--batch", type=int, default=1, help="images per inference")
     ap.add_argument("--iters", type=int, default=16, help="inferences per scan/fetch")
     ap.add_argument("--reps", type=int, default=6, help="timed scan fetches")
     ap.add_argument(
@@ -56,7 +58,7 @@ def main(argv=None):
 
     h, w = (int(v) for v in args.hw.split("x"))
     params = maskformer_init(jax.random.PRNGKey(0), cfg)
-    img = jnp.asarray(np.random.RandomState(0).rand(1, h, w, 3) * 255, jnp.float32)
+    img = jnp.asarray(np.random.RandomState(0).rand(args.batch, h, w, 3) * 255, jnp.float32)
 
     @jax.jit
     def loop(params, img):
@@ -90,12 +92,13 @@ def main(argv=None):
         float(loop(params, img))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    dev_ms = (best - rtt) / args.iters * 1000.0
+    dev_ms = (best - rtt) / (args.iters * args.batch) * 1000.0
 
     print(
         json.dumps(
             {
                 "mode": "fast" if args.fast else "parity",
+                "batch": args.batch,
                 "hw": args.hw,
                 "device_ms_per_img": round(dev_ms, 2),
                 "imgs_per_sec": round(1000.0 / dev_ms, 2),

@@ -136,7 +136,7 @@ def main(argv=None):
     batch_size = (batch_size // n_dev) * n_dev or n_dev
     max_iter = args.max_iter or cfg.solver.max_iter
 
-    state = make_train_state(jax.random.PRNGKey(args.seed), cfg)
+    state = make_train_state(jax.random.PRNGKey(args.seed), cfg, mesh)
     start = 0
     if args.resume:
         step0 = latest_step(ckpt_dir)

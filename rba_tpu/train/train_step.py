@@ -28,13 +28,22 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
-def make_train_state(rng: jax.Array, cfg: RbAConfig) -> TrainState:
+def make_train_state(rng: jax.Array, cfg: RbAConfig, mesh: Mesh | None = None) -> TrainState:
+    """Builds the initial state; pass ``mesh`` to commit it with the
+    replicated sharding the train step expects.  Without it the first
+    step() call sees uncommitted-input avals and pjit compiles TWICE (once
+    more when the donated outputs come back committed) — through the remote
+    TPU tunnel that second compile costs minutes (measured 227 s at Swin-B
+    512×1024)."""
     k1, k2 = jax.random.split(rng)
     params = maskformer_init(k1, cfg)
     tx = build_optimizer(cfg, params)
-    return TrainState(
+    state = TrainState(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32), rng=k2
     )
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    return state
 
 
 def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1):

@@ -222,7 +222,7 @@ def test_training_converges_on_fixed_batch(rng):
     import dataclasses
 
     from rba_tpu.config import SolverConfig
-    from rba_tpu.parallel.mesh import make_mesh
+    from rba_tpu.parallel.mesh import make_mesh, shard_batch
     from rba_tpu.train.train_step import make_train_state, make_train_step
 
     cfg = tiny_test_config()
@@ -231,9 +231,10 @@ def test_training_converges_on_fixed_batch(rng):
         cfg, solver=dataclasses.replace(cfg.solver, base_lr=5e-4, max_iter=10**9)
     )
     mesh = make_mesh(1)
-    state = make_train_state(jax.random.PRNGKey(0), cfg)
+    # pre-placed state/batch -> one compile (see make_train_state docstring)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, mesh)
     step = make_train_step(cfg, mesh)
-    batch = _tiny_batch(np.random.RandomState(0), cfg, b=1, hw=32)
+    batch = shard_batch(mesh, _tiny_batch(np.random.RandomState(0), cfg, b=1, hw=32))
 
     losses = []
     for _ in range(16):
