@@ -41,15 +41,28 @@ def layer_norm(params, x, eps: float = 1e-5):
 
 def group_norm(params, x, num_groups: int = 32, eps: float = 1e-5):
     """GroupNorm over NHWC activations (channels last), torch semantics.
-    Single-pass moments, as in layer_norm."""
+    Single-pass moments, as in layer_norm.
+
+    The normalize is applied as a per-CHANNEL affine on the natural NHWC
+    tensor — (x−μ)·r·γ + β ≡ x·(r·γ) + (β − μ·r·γ) with the group stats
+    repeated to channel vectors — rather than on the (n,h,w,g,c/g) grouped
+    reshape: XLA materializes the grouped normalize in a lane-split layout
+    and pays two full relayout copies of the big tensor afterwards
+    (profiled on v5e: ~0.8 ms per stride-4 FPN GroupNorm at Swin-B
+    1024×2048).  Only the tiny (n,g) stats see the grouped view."""
     n, h, w, c = x.shape
     g = num_groups
-    x32 = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
-    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
-    mean_sq = jnp.mean(jnp.square(x32), axis=(1, 2, 4), keepdims=True)
+    x32 = x.astype(jnp.float32)
+    xg = x32.reshape(n, h * w, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 3))  # (n, g)
+    mean_sq = jnp.mean(jnp.square(xg), axis=(1, 3))
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
-    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps)  # (n, g)
+    inv_c = jnp.repeat(inv, c // g, axis=1)  # (n, c)
+    mean_c = jnp.repeat(mean, c // g, axis=1)
+    scale = params["scale"].astype(jnp.float32)[None] * inv_c
+    shift = params["bias"].astype(jnp.float32)[None] - mean_c * scale
+    y = x32 * scale[:, None, None, :] + shift[:, None, None, :]
     return y.astype(x.dtype)
 
 
