@@ -113,6 +113,13 @@ def main(argv=None):
     datasets = get_datasets(args.datasets_folder)
     if args.dataset_mode != "all":
         keep = set(args.dataset_mode.split(","))
+        if "synthetic" in keep:
+            # procedural no-file-IO dataset: a self-contained end-to-end
+            # smoke of the whole sweep (model load -> inference -> scores ->
+            # metrics -> results.pkl) on any machine / the real TPU
+            from ..data.ood_datasets import SyntheticAnomaly
+
+            datasets["synthetic"] = SyntheticAnomaly()
         datasets = {k: v for k, v in datasets.items() if k in keep}
 
     if args.models_list:
