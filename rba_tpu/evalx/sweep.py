@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--score_func", default="rba", choices=["rba", "pebal", "dense_hybrid"])
     p.add_argument("--out_path", default="results/")
     p.add_argument("--models_list", nargs="*", default=None)
+    p.add_argument("--selected_models", nargs="*", default=[],
+                   help="used with --model_mode selected (reference CLI)")
+    p.add_argument("--selected_datasets", nargs="*", default=[],
+                   help="used with --dataset_mode selected (reference CLI)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--store_anomaly_scores", action="store_true")
     p.add_argument("--upper_limit", type=int, default=1300)
@@ -112,7 +116,12 @@ def main(argv=None):
 
     datasets = get_datasets(args.datasets_folder)
     if args.dataset_mode != "all":
-        keep = set(args.dataset_mode.split(","))
+        # reference semantics (evaluate_ood.py:51-66): "selected" reads the
+        # --selected_datasets list; we additionally accept a comma list
+        if args.dataset_mode == "selected":
+            keep = set(args.selected_datasets)
+        else:
+            keep = set(args.dataset_mode.split(","))
         if "synthetic" in keep:
             # procedural no-file-IO dataset: a self-contained end-to-end
             # smoke of the whole sweep (model load -> inference -> scores ->
@@ -122,8 +131,9 @@ def main(argv=None):
             datasets["synthetic"] = SyntheticAnomaly()
         datasets = {k: v for k, v in datasets.items() if k in keep}
 
-    if args.models_list:
-        model_dirs = [os.path.join(args.models_folder, m) for m in args.models_list]
+    if args.models_list or args.selected_models:
+        names = args.models_list or args.selected_models
+        model_dirs = [os.path.join(args.models_folder, m) for m in names]
     elif args.model_mode == "all":
         model_dirs = sorted(
             os.path.join(args.models_folder, d)

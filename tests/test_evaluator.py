@@ -96,14 +96,16 @@ def test_sweep_cli_on_synthetic(tmp_path, monkeypatch):
     )
     import rba_tpu.data.ood_datasets as od
 
-    monkeypatch.setattr(
-        od, "get_datasets", lambda folder: {"synthetic": SyntheticAnomaly(n=2, hw=(32, 32))}
-    )
+    monkeypatch.setattr(od, "SyntheticAnomaly", lambda: SyntheticAnomaly(n=2, hw=(32, 32)))
     out = str(tmp_path / "results")
+    # reference-style selected mode exercises the first-class synthetic
+    # injection (no dataset folder needed) + --selected_datasets parsing
     sweep.main(
         [
             "--models_folder", str(tmp_path / "models"),
-            "--datasets_folder", "unused",
+            "--datasets_folder", str(tmp_path / "nodata"),
+            "--dataset_mode", "selected",
+            "--selected_datasets", "synthetic",
             "--out_path", out,
         ]
     )
