@@ -40,6 +40,12 @@ def main(argv=None):
         action="store_true",
         help="fast serving mode: pixel_decoder_dtype=bfloat16 + RBA_TPU_FAST_MATH=1",
     )
+    ap.add_argument(
+        "--train",
+        action="store_true",
+        help="measure the training step (fwd+matcher+losses+bwd+AdamW) instead "
+        "of inference; --hw is the crop size, --batch the global batch",
+    )
     args = ap.parse_args(argv)
 
     if args.fast:
@@ -57,6 +63,47 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, pixel_decoder_dtype="bfloat16")
 
     h, w = (int(v) for v in args.hw.split("x"))
+
+    if args.train:
+        # sequential timed calls (the donated state can't thread a scan);
+        # skip TWO warmup calls — pjit may compile twice if shardings shift
+        from ..parallel.mesh import make_mesh, shard_batch
+        from ..train.train_step import make_train_state, make_train_step
+
+        mesh = make_mesh()
+        state = make_train_state(jax.random.PRNGKey(0), cfg, mesh)
+        step = make_train_step(cfg, mesh)
+        b, t = args.batch, 16
+        rng = np.random.RandomState(0)
+        batch = shard_batch(mesh, {
+            "images": jnp.asarray(rng.rand(b, h, w, 3) * 255, jnp.float32),
+            "gt_labels": jnp.asarray(rng.randint(0, cfg.num_classes, (b, t)), jnp.int32),
+            "gt_masks": jnp.asarray((rng.rand(b, t, h, w) > 0.7).astype(np.float32)),
+            "gt_valid": jnp.asarray(
+                np.concatenate([np.ones((b, 8)), np.zeros((b, t - 8))], 1), jnp.float32
+            ),
+        })
+        for _ in range(2):  # compile + possible second-specialization call
+            state, m = step(state, batch)
+            float(m["total"])
+        times = []
+        for _ in range(max(args.reps, 4)):
+            t0 = time.perf_counter()
+            state, m = step(state, batch)
+            float(m["total"])
+            times.append(time.perf_counter() - t0)
+        sec = min(times)
+        print(json.dumps({
+            "mode": "train",
+            "batch": args.batch,
+            "hw": args.hw,
+            "sec_per_step": round(sec, 3),
+            "steps_per_sec": round(1.0 / sec, 2),
+            "imgs_per_sec": round(args.batch / sec, 2),
+            "backend": jax.default_backend(),
+        }))
+        return
+
     params = maskformer_init(jax.random.PRNGKey(0), cfg)
     img = jnp.asarray(np.random.RandomState(0).rand(args.batch, h, w, 3) * 255, jnp.float32)
 
