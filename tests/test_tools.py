@@ -166,3 +166,43 @@ def test_analyze_model_activation_and_flop_table():
     table = flop_table(fn, params, img)
     assert table.get("dot_general", 0) > 0 and table.get("conv", 0) > 0
     assert activation_count(fn, params, img) > 0
+
+
+def test_devtime_tool_smoke(tmp_path, capsys, monkeypatch):
+    """The device-time probe runs end-to-end on CPU at a tiny config and
+    prints one well-formed JSON line (the tool is a documented interface:
+    README/MODEL_ZOO point users at it for perf measurement)."""
+    import json
+
+    import yaml
+
+    from rba_tpu.tools import devtime
+
+    d2yaml = {
+        "MODEL": {
+            "BACKBONE": {"NAME": "D2SwinTransformer"},
+            "SWIN": {
+                "EMBED_DIM": 32, "DEPTHS": [2, 2], "NUM_HEADS": [2, 4],
+                "WINDOW_SIZE": 4, "OUT_FEATURES": ["res2", "res3"],
+            },
+            "SEM_SEG_HEAD": {
+                "CONVS_DIM": 64, "MASK_DIM": 64, "NUM_CLASSES": 7,
+                "DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES": ["res3"],
+                "IN_FEATURES": ["res2", "res3"], "TRANSFORMER_ENC_LAYERS": 2,
+            },
+            "MASK_FORMER": {
+                "HIDDEN_DIM": 64, "NUM_OBJECT_QUERIES": 10, "NHEADS": 4,
+                "DIM_FEEDFORWARD": 128, "DEC_LAYERS": 3,
+            },
+        }
+    }
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(d2yaml, f)
+    devtime.main(
+        ["--config", str(cfg_path), "--hw", "32x64", "--iters", "2", "--reps", "2"]
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["mode"] == "parity" and rec["device_ms_per_img"] > 0
+    assert rec["hw"] == "32x64" and rec["backend"] == "cpu"
