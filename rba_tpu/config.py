@@ -242,6 +242,10 @@ class RbAConfig:
     # pixel decoder (msdeformattn.py:323-329) for strict score parity;
     # "bfloat16" is the fast serving mode (norms/softmax/sampling stay fp32)
     pixel_decoder_dtype: str = "float32"
+    # fast serving mode: bf16 window-attention softmax in the backbone
+    # (a config field, not an env var, so two jits of the same cfg can never
+    # silently differ on ambient process state)
+    fast_math: bool = False
 
     @property
     def sem_seg_head_ignore_value(self) -> int:

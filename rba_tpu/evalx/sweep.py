@@ -120,6 +120,12 @@ def main(argv=None):
         # --selected_datasets list; we additionally accept a comma list
         if args.dataset_mode == "selected":
             keep = set(args.selected_datasets)
+            if not keep:
+                # reference evaluate_ood.py raises on an empty selection —
+                # silently evaluating nothing would read as "all clean"
+                raise SystemExit(
+                    "--dataset_mode selected requires --selected_datasets"
+                )
         else:
             keep = set(args.dataset_mode.split(","))
         if "synthetic" in keep:
@@ -131,8 +137,13 @@ def main(argv=None):
             datasets["synthetic"] = SyntheticAnomaly()
         datasets = {k: v for k, v in datasets.items() if k in keep}
 
-    if args.models_list or args.selected_models:
+    if args.model_mode == "selected" or args.models_list:
+        # reference semantics: --selected_models only applies under
+        # --model_mode selected (evaluate_ood.py:51-66); empty selection is
+        # an error, not an empty sweep
         names = args.models_list or args.selected_models
+        if not names:
+            raise SystemExit("--model_mode selected requires --selected_models")
         model_dirs = [os.path.join(args.models_folder, m) for m in names]
     elif args.model_mode == "all":
         model_dirs = sorted(
@@ -173,7 +184,7 @@ def main(argv=None):
             from ..models.sliding_window import sliding_window_sem_seg
             from ..models.tta import tta_inference
 
-            cfg_m, params_m = load_model(model_dir)
+            cfg_m, params_m = evaluator.cfg, evaluator.params
             scores, gts = [], []
             for i, sample in enumerate(datasets[ds_name]):
                 if i >= args.upper_limit:

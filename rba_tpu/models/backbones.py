@@ -24,7 +24,9 @@ def build_backbone(cfg: RbAConfig):
 
         return (
             lambda key: swin_init(key, cfg.swin),
-            lambda p, x, dtype: swin_apply(p, cfg.swin, x, compute_dtype=dtype),
+            lambda p, x, dtype: swin_apply(
+                p, cfg.swin, x, compute_dtype=dtype, fast_math=cfg.fast_math
+            ),
             cfg.swin.out_channels,
         )
 

@@ -188,8 +188,9 @@ def _ms_attention(p, x, s, cfg: MViTConfig):
     # AMP-exact placement (torch autocast): compute-dtype logits, fp32 softmax
     attn = jnp.einsum("bqd,bkd->bqk", qf * (hd**-0.5), kf, preferred_element_type=x.dtype)
     if cfg.use_rel_pos:
-        rh = _rel_pos_resampled(p["rel_pos_h"].astype(x.dtype), q_hw[0], kv_hw[0])
-        rw = _rel_pos_resampled(p["rel_pos_w"].astype(x.dtype), q_hw[1], kv_hw[1])
+        # resample in fp32 (torch autocast keeps F.interpolate fp32), cast after
+        rh = _rel_pos_resampled(p["rel_pos_h"], q_hw[0], kv_hw[0]).astype(x.dtype)
+        rw = _rel_pos_resampled(p["rel_pos_w"], q_hw[1], kv_hw[1]).astype(x.dtype)
         r_q = qf.reshape(-1, q_hw[0], q_hw[1], hd)
         rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh, preferred_element_type=x.dtype)
         rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw, preferred_element_type=x.dtype)

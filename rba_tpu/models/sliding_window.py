@@ -35,6 +35,15 @@ def _feather_weight(th: int, tw: int, overlap: int) -> np.ndarray:
     return np.outer(ramp(overlap, th), ramp(overlap, tw))
 
 
+@functools.lru_cache(maxsize=16)
+def _tile_infer_fn(cfg: RbAConfig):
+    """Jitted tile-inference fn, cached per cfg at module level.  A
+    ``jax.jit(lambda ...)`` built inside ``sliding_window_sem_seg`` would be
+    a fresh function identity per call — every image would recompile (1-5 min
+    each through the TPU tunnel).  jit itself then caches per tile shape."""
+    return jax.jit(lambda p, x: maskformer_infer(p, cfg, x)["sem_seg"][0])
+
+
 def sliding_window_sem_seg(
     params,
     cfg: RbAConfig,
@@ -56,7 +65,7 @@ def sliding_window_sem_seg(
     if xs[-1] + tw < w:
         xs.append(w - tw)
 
-    infer = jax.jit(lambda p, x: maskformer_infer(p, cfg, x)["sem_seg"][0])
+    infer = _tile_infer_fn(cfg)
     weight = jnp.asarray(_feather_weight(th, tw, overlap))
 
     total = jnp.zeros((cfg.num_classes, h, w), jnp.float32)

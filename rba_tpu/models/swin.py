@@ -161,6 +161,7 @@ def _window_attention(
     ws: int,
     mask: Optional[np.ndarray],  # (nW, N, N) or None
     qk_scale: Optional[float],
+    fast_math: bool = False,
 ) -> jax.Array:
     b, nhw, nww, n, c = x.shape
     hd = c // num_heads
@@ -202,14 +203,20 @@ def _window_attention(
     # fidelity, not speed.)
     import os
 
-    fast = bool(os.environ.get("RBA_TPU_FAST_MATH"))
-    strict = bool(os.environ.get("RBA_TPU_STRICT_SCORES"))
-    score_t = jnp.float32 if strict and not fast else x.dtype
+    fast = fast_math  # cfg.fast_math, threaded via swin_apply
+    strict = bool(os.environ.get("RBA_TPU_STRICT_SCORES"))  # debug-only knob
+    fused = (
+        not fast
+        and jax.default_backend() == "tpu"
+        and bool(os.environ.get("RBA_TPU_FUSED_SOFTMAX"))
+    )
+    # the fused kernel's math assumes fp32 score input (it does the max/exp
+    # in fp32 and writes bf16) — keep its logits fp32 even though the
+    # default factorized path materializes compute-dtype logits
+    score_t = jnp.float32 if (strict and not fast) or fused else x.dtype
     attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k, preferred_element_type=score_t)
 
-    if not fast and jax.default_backend() == "tpu" and os.environ.get(
-        "RBA_TPU_FUSED_SOFTMAX"
-    ):
+    if fused:
         # fused add+softmax kernel (opt-in): identical fp32 math, one read
         # of the fp32 scores + one bf16 write instead of XLA's four passes.
         # Measured SLOWER in-model (83 vs 59 ms full inference) despite the
@@ -250,6 +257,11 @@ def _window_attention(
         eb = jnp.exp(rel_bias - jnp.max(rel_bias, axis=-1, keepdims=True))
         num = jnp.exp(s32 - m) * eb[None, None]
         if mask is not None:
+            # Invariant: every attention row keeps >= 1 unmasked key (Swin
+            # shift masks always leave the diagonal at 0), else num sums to
+            # 0 and this form yields NaN where the reference's additive -100
+            # degrades to uniform.  swin_attention_mask guarantees this by
+            # construction (mask[q, q] == 0 for all q).
             keep = jnp.asarray((mask == 0).astype(np.float32))
             num = num * keep[None, :, None]
         attn = (num / jnp.sum(num, axis=-1, keepdims=True)).astype(x.dtype)
@@ -277,6 +289,7 @@ def swin_block_apply(
     drop_path_rate: float = 0.0,
     rng=None,
     deterministic: bool = True,
+    fast_math: bool = False,
 ) -> jax.Array:
     b, h, w, c = x.shape
     shortcut = x
@@ -298,7 +311,8 @@ def swin_block_apply(
     xw = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
     xw = jnp.transpose(xw, (0, 1, 3, 2, 4, 5)).reshape(b, hp // ws, wp // ws, ws * ws, c)
 
-    xw = _window_attention(params["attn"], xw, num_heads, ws, mask, qk_scale)
+    xw = _window_attention(params["attn"], xw, num_heads, ws, mask, qk_scale,
+                           fast_math=fast_math)
 
     # reverse
     x = xw.reshape(b, hp // ws, wp // ws, ws, ws, c)
@@ -343,6 +357,7 @@ def swin_apply(
     compute_dtype=jnp.bfloat16,
     rng=None,
     deterministic: bool = True,
+    fast_math: bool = False,
 ) -> Dict[str, jax.Array]:
     """Returns {res2..res5: (B, H/s, W/s, C_s)} feature maps (NHWC)."""
     x = images.astype(compute_dtype)
@@ -402,6 +417,7 @@ def swin_apply(
                     drop_path_rate=float(dpr[blk_idx]),
                     rng=sub,
                     deterministic=deterministic,
+                    fast_math=fast_math,
                 )
                 if cfg.use_checkpoint:
                     # remat per block (MODEL.SWIN.USE_CHECKPOINT →

@@ -31,6 +31,26 @@ def resize_shortest_edge_size(h: int, w: int, size: int, max_size: int) -> Tuple
     return int(h * scale + 0.5), int(w * scale + 0.5)
 
 
+@functools.lru_cache(maxsize=128)
+def _tta_variant_fn(cfg: RbAConfig, hh: int, ww: int, out_h: int, out_w: int,
+                    flipped: bool):
+    """One jitted (params, img) -> (K, out_h, out_w) function per
+    (cfg, scale, flip) variant.  Module-level cache: a fresh jit identity per
+    image would recompile every call (1-5 min each through the TPU tunnel) —
+    same bug class evalx/evaluator.py:131-141 guards against."""
+
+    def fn(params, img):
+        x = resize_bilinear_nhwc(img, (hh, ww))
+        if flipped:
+            x = x[:, :, ::-1, :]
+        sem = maskformer_infer(params, cfg, x, out_hw=(out_h, out_w))["sem_seg"]
+        if flipped:
+            sem = sem[..., ::-1]
+        return sem[0]
+
+    return jax.jit(fn)
+
+
 def tta_inference(
     params,
     cfg: RbAConfig,
@@ -43,26 +63,13 @@ def tta_inference(
     flip = cfg.test.aug_flip if flip is None else flip
     h, w = image.shape[:2]
 
-    @functools.lru_cache(maxsize=64)
-    def infer_at(hh: int, ww: int, flipped: bool):
-        def fn(params, img):
-            x = resize_bilinear_nhwc(img, (hh, ww))
-            if flipped:
-                x = x[:, :, ::-1, :]
-            sem = maskformer_infer(params, cfg, x, out_hw=(h, w))["sem_seg"]
-            if flipped:
-                sem = sem[..., ::-1]
-            return sem[0]
-
-        return jax.jit(fn)
-
     img = jnp.asarray(image[None], jnp.float32)
     total = None
     count = 0
     for s in min_sizes:
         hh, ww = resize_shortest_edge_size(h, w, s, cfg.test.aug_max_size)
         for flipped in ((False, True) if flip else (False,)):
-            sem = infer_at(hh, ww, flipped)(params, img)
+            sem = _tta_variant_fn(cfg, hh, ww, h, w, flipped)(params, img)
             total = sem if total is None else total + sem
             count += 1
     return total / count

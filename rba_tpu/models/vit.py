@@ -79,8 +79,10 @@ def _attention(p, x, num_heads: int, use_rel_pos: bool):
 
     if use_rel_pos:
         # add_decomposed_rel_pos (utils.py:101-130)
-        rh = _rel_pos_resampled(p["rel_pos_h"].astype(x.dtype), h, h)  # (h, h, hd)
-        rw = _rel_pos_resampled(p["rel_pos_w"].astype(x.dtype), w, w)
+        # resample in fp32 (torch autocast keeps F.interpolate fp32 and only
+        # casts the einsum inputs), then cast the table to compute dtype
+        rh = _rel_pos_resampled(p["rel_pos_h"], h, h).astype(x.dtype)  # (h, h, hd)
+        rw = _rel_pos_resampled(p["rel_pos_w"], w, w).astype(x.dtype)
         r_q = q.reshape(b * num_heads, h, w, hd)
         rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh, preferred_element_type=x.dtype)
         rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw, preferred_element_type=x.dtype)

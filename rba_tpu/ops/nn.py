@@ -75,7 +75,8 @@ def conv2d(params, x, stride: int = 1, padding="SAME", feature_group_count: int 
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     kh, kw = params["kernel"].shape[:2]
-    if kh == 1 and kw == 1 and stride == 1 and feature_group_count == 1:
+    zero_pad = padding in ("SAME", "VALID") or padding == [(0, 0), (0, 0)]
+    if kh == 1 and kw == 1 and stride == 1 and feature_group_count == 1 and zero_pad:
         # 1×1 stride-1 conv as a channel matmul: batch-1 NHWC convs hit a
         # batch-in-sublanes conv emitter that also pins degenerate
         # T(1,128)/T(2,128) output layouts on the fp32 FPN tail, dragging

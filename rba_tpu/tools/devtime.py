@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import os
 import time
 
 
@@ -38,7 +37,7 @@ def main(argv=None):
     ap.add_argument(
         "--fast",
         action="store_true",
-        help="fast serving mode: pixel_decoder_dtype=bfloat16 + RBA_TPU_FAST_MATH=1",
+        help="fast serving mode: pixel_decoder_dtype=bfloat16 + fast_math=True",
     )
     ap.add_argument(
         "--train",
@@ -47,9 +46,6 @@ def main(argv=None):
         "of inference; --hw is the crop size, --batch the global batch",
     )
     args = ap.parse_args(argv)
-
-    if args.fast:
-        os.environ["RBA_TPU_FAST_MATH"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -60,7 +56,9 @@ def main(argv=None):
 
     cfg = load_d2_config(args.config)
     if args.fast:
-        cfg = dataclasses.replace(cfg, pixel_decoder_dtype="bfloat16")
+        cfg = dataclasses.replace(
+            cfg, pixel_decoder_dtype="bfloat16", fast_math=True
+        )
 
     h, w = (int(v) for v in args.hw.split("x"))
 
