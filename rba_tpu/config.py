@@ -76,6 +76,11 @@ class PixelDecoderConfig:
     # (msdeformattn.py:315) regardless of MASK_FORMER.DIM_FEEDFORWARD.
     transformer_dim_feedforward: int = 1024
     common_stride: int = 4
+    # SEM_SEG_HEAD.PIXEL_DECODER_NAME registry choice (reference
+    # pixel_decoder/fpn.py:21-33 build_pixel_decoder):
+    # MSDeformAttnPixelDecoder (live path) | BasePixelDecoder |
+    # TransformerEncoderPixelDecoder
+    name: str = "MSDeformAttnPixelDecoder"
 
     @property
     def num_feature_levels(self) -> int:
@@ -94,6 +99,10 @@ class DecoderConfig:
     dim_feedforward: int = 2048
     # reference from_config subtracts 1 from cfg DEC_LAYERS (…decoder.py:388)
     dec_layers: int = 1
+    # raw MASK_FORMER.DEC_LAYERS / ENC_LAYERS: the v1 StandardTransformerDecoder
+    # uses them un-adjusted (maskformer_transformer_decoder.py from_config)
+    dec_layers_total: int = 6
+    enc_layers: int = 0
     pre_norm: bool = False
     mask_dim: int = 256
     enforce_input_project: bool = False
@@ -195,6 +204,9 @@ class LossConfig:
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     matcher: str = "HungarianMatcher"
+    # MASK_FORMER.USE_POINT_REND: point-sampled CE for the per-pixel baseline
+    # heads (reference meta_arch/per_pixel_baseline.py:163-189)
+    use_point_rend: bool = False
 
 
 @dataclass(frozen=True)
@@ -225,6 +237,9 @@ class RbAConfig:
     """Top-level model + eval configuration."""
 
     backbone_name: str = "swin"
+    # SEM_SEG_HEAD.NAME registry choice (reference D2 SEM_SEG_HEADS_REGISTRY):
+    # MaskFormerHead | PerPixelBaselineHead | PerPixelBaselinePlusHead
+    sem_seg_head_name: str = "MaskFormerHead"
     swin: SwinConfig = field(default_factory=SwinConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)
     pixel_decoder: PixelDecoderConfig = field(default_factory=PixelDecoderConfig)
@@ -403,6 +418,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         transformer_nheads=mf.get("NHEADS", 8),
         enc_n_points=head.get("DEFORMABLE_TRANSFORMER_ENCODER_N_POINTS", 4),
         common_stride=head.get("COMMON_STRIDE", 4),
+        name=head.get("PIXEL_DECODER_NAME", "MSDeformAttnPixelDecoder"),
     )
 
     decoder = DecoderConfig(
@@ -411,6 +427,8 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         nheads=mf.get("NHEADS", 8),
         dim_feedforward=mf.get("DIM_FEEDFORWARD", 2048),
         dec_layers=max(_int(mf.get("DEC_LAYERS", 2), 2) - 1, 1),
+        dec_layers_total=_int(mf.get("DEC_LAYERS", 6), 6),
+        enc_layers=_int(mf.get("ENC_LAYERS", 0), 0),
         pre_norm=mf.get("PRE_NORM", False),
         mask_dim=head.get("MASK_DIM", 256),
         enforce_input_project=mf.get("ENFORCE_INPUT_PROJ", False),
@@ -479,6 +497,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         oversample_ratio=mf.get("OVERSAMPLE_RATIO", 3.0),
         importance_sample_ratio=mf.get("IMPORTANCE_SAMPLE_RATIO", 0.75),
         matcher=mf.get("MATCHER", "HungarianMatcher"),
+        use_point_rend=mf.get("USE_POINT_REND", False),
     )
 
     solver_cfg = SolverConfig(
@@ -509,6 +528,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
 
     cfg = RbAConfig(
         backbone_name=backbone,
+        sem_seg_head_name=head.get("NAME", "MaskFormerHead"),
         swin=swin,
         resnet=resnet,
         pixel_decoder=pixel_decoder,

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from ..config import RbAConfig
 from ..ops.resize import resize_bilinear
-from .pixel_decoder import pixel_decoder_apply, pixel_decoder_init
 from .swin import swin_apply, swin_init
 from .transformer_decoder import decoder_apply, decoder_init
 
@@ -56,17 +55,31 @@ def _predictor_init(key, cfg: RbAConfig, backbone_channels):
 
 
 def maskformer_init(key, cfg: RbAConfig):
+    """SEM_SEG_HEAD.NAME + PIXEL_DECODER_NAME registry dispatch (reference
+    D2 SEM_SEG_HEADS_REGISTRY; build_pixel_decoder fpn.py:21-33)."""
     from .backbones import build_backbone
+    from .baseline_heads import (
+        build_pixel_decoder,
+        per_pixel_head_init,
+        per_pixel_plus_head_init,
+    )
 
     k1, k2, k3 = jax.random.split(key, 3)
     backbone_init, _, in_channels = build_backbone(cfg)
-    return {
-        "backbone": backbone_init(k1),
-        "sem_seg_head": {
-            "pixel_decoder": pixel_decoder_init(k2, cfg.pixel_decoder, in_channels),
+    head_name = cfg.sem_seg_head_name
+    if head_name == "PerPixelBaselineHead":
+        head = per_pixel_head_init(k2, cfg, in_channels)
+    elif head_name == "PerPixelBaselinePlusHead":
+        head = per_pixel_plus_head_init(k2, cfg, in_channels)
+    elif head_name == "MaskFormerHead":
+        pd_init, _ = build_pixel_decoder(cfg)
+        head = {
+            "pixel_decoder": pd_init(k2, in_channels),
             "predictor": _predictor_init(k3, cfg, in_channels),
-        },
-    }
+        }
+    else:
+        raise NotImplementedError(f"SEM_SEG_HEAD.NAME {head_name}")
+    return {"backbone": backbone_init(k1), "sem_seg_head": head}
 
 
 def _compute_dtype(cfg: RbAConfig):
@@ -101,14 +114,15 @@ def maskformer_forward(
     aux_outputs.  Shared by training and inference."""
     from .backbones import build_backbone
 
+    from .baseline_heads import build_pixel_decoder
+
     dtype = _compute_dtype(cfg)
     _, backbone_apply, _ = build_backbone(cfg)
     features = backbone_apply(params["backbone"], images, dtype)
     head = params["sem_seg_head"]
     pd_dtype = jnp.bfloat16 if cfg.pixel_decoder_dtype == "bfloat16" else jnp.float32
-    mask_features, enc_feat, ms_feats = pixel_decoder_apply(
-        head["pixel_decoder"], cfg.pixel_decoder, features, dtype=pd_dtype
-    )
+    _, pd_apply = build_pixel_decoder(cfg)
+    mask_features, enc_feat, ms_feats = pd_apply(head["pixel_decoder"], features, pd_dtype)
 
     name = cfg.decoder.name
     if name == "MultiScaleMaskedTransformerDecoder":
@@ -144,8 +158,32 @@ def maskformer_forward(
             x = mask_features
         else:
             x = features[in_feat]
-        return standard_decoder_apply(head["predictor"], cfg, x, mask_features)
+        return standard_decoder_apply(
+            head["predictor"], cfg, x, mask_features,
+            deep_supervision=need_aux and cfg.loss.deep_supervision,
+        )
     raise NotImplementedError(f"TRANSFORMER_DECODER_NAME {name}")
+
+
+def per_pixel_forward(
+    params,
+    cfg: RbAConfig,
+    images: jax.Array,  # (B, Hp, Wp, 3) normalized + padded
+) -> Tuple[jax.Array, list]:
+    """Per-pixel baseline head path (SEM_SEG_HEAD.NAME = PerPixelBaseline*):
+    → ((B, K, Hp/4, Wp/4) class logits, aux list).  Reference
+    meta_arch/per_pixel_baseline.py layers()."""
+    from .backbones import build_backbone
+    from .baseline_heads import per_pixel_head_apply, per_pixel_plus_head_apply
+
+    dtype = _compute_dtype(cfg)
+    _, backbone_apply, _ = build_backbone(cfg)
+    features = backbone_apply(params["backbone"], images, dtype)
+    pd_dtype = jnp.bfloat16 if cfg.pixel_decoder_dtype == "bfloat16" else jnp.float32
+    head = params["sem_seg_head"]
+    if cfg.sem_seg_head_name == "PerPixelBaselineHead":
+        return per_pixel_head_apply(head, cfg, features, dtype=pd_dtype), []
+    return per_pixel_plus_head_apply(head, cfg, features, dtype=pd_dtype)
 
 
 def semantic_inference(
@@ -186,6 +224,9 @@ def maskformer_infer_rba(
     original-size images, so sem_seg_postprocess only crops — no resize:
     evaluate_ood.py:143-150 + support.py get_datasets)."""
     h_img, w_img = images.shape[1], images.shape[2]
+    if cfg.sem_seg_head_name != "MaskFormerHead":
+        # per-pixel heads have no (logits, masks) pair to fuse
+        return maskformer_infer(params, cfg, images)["rba"]
     x = preprocess(cfg, images)
     if jax.default_backend() == "tpu":
         from ..ops.pallas.fused_rba import fused_rba_score
@@ -220,6 +261,16 @@ def maskformer_infer(
     out_hw = out_hw or (h_img, w_img)
     x = preprocess(cfg, images)
     hp, wp = x.shape[1], x.shape[2]
+
+    if cfg.sem_seg_head_name != "MaskFormerHead":
+        # per-pixel baseline heads: logits upsampled x4 (reference
+        # per_pixel_baseline.py:150-153) then cropped/resized like the D2
+        # SemanticSegmentor postprocess; RbA applies to the raw logits
+        logits, _ = per_pixel_forward(params, cfg, x)
+        full = resize_bilinear(logits, (hp, wp), align_corners=False)
+        sem = full[:, :, :h_img, :w_img]
+        sem = resize_bilinear(sem, out_hw, align_corners=False)
+        return {"sem_seg": sem, "rba": rba_score(sem)}
 
     outputs = maskformer_forward(params, cfg, x, need_aux=False)
     mask_cls = outputs["pred_logits"]

@@ -195,6 +195,21 @@ def upsample2x_bilinear_nhwc(x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def resize_nearest_nhwc(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor resize of (N, H, W, C) with torch ``mode="nearest"``
+    semantics (src = floor(dst * in/out)) — the FPN baseline pixel decoder's
+    top-down upsample (/root/reference/mask2former/modeling/pixel_decoder/
+    fpn.py:150: "Following FPN implementation, we use nearest upsampling")."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    iy = np.minimum((np.arange(h_out) * h_in // h_out), h_in - 1).astype(np.int32)
+    ix = np.minimum((np.arange(w_out) * w_in // w_out), w_in - 1).astype(np.int32)
+    y = jnp.take(x, jnp.asarray(iy), axis=1)
+    return jnp.take(y, jnp.asarray(ix), axis=2)
+
+
 def resize_bilinear_nhwc(
     x: jax.Array, out_hw: Tuple[int, int], align_corners: bool = False
 ) -> jax.Array:

@@ -1,17 +1,35 @@
+"""Baseline heads: FPN pixel decoders, MaskFormer-v1 standard decoder,
+per-pixel baseline heads (simple + Plus), and their SEM_SEG_HEAD.NAME /
+PIXEL_DECODER_NAME registry dispatch.
+
+Reference: /root/reference/mask2former/modeling/pixel_decoder/fpn.py,
+meta_arch/per_pixel_baseline.py, transformer_decoder/
+maskformer_transformer_decoder.py.
+"""
+import dataclasses
+
 import numpy as np
+import torch
 
 import jax
 import jax.numpy as jnp
 
 from rba_tpu.config import tiny_test_config
 from rba_tpu.models.baseline_heads import (
+    build_pixel_decoder,
     fpn_pixel_decoder_apply,
     fpn_pixel_decoder_init,
     per_pixel_head_apply,
     per_pixel_head_init,
+    per_pixel_losses,
+    per_pixel_plus_head_apply,
+    per_pixel_plus_head_init,
     standard_decoder_apply,
     standard_decoder_init,
+    transformer_encoder_pixel_decoder_apply,
+    transformer_encoder_pixel_decoder_init,
 )
+from tests.test_decoder import t2j_linear, t2j_ln, t2j_mha
 
 
 def _feats(cfg):
@@ -21,14 +39,47 @@ def _feats(cfg):
     }
 
 
+def _fpn_cfg():
+    base = tiny_test_config()
+    return dataclasses.replace(
+        base, pixel_decoder=dataclasses.replace(base.pixel_decoder, name="BasePixelDecoder")
+    )
+
+
 def test_fpn_pixel_decoder():
     cfg = tiny_test_config()
     params = fpn_pixel_decoder_init(
         jax.random.PRNGKey(0), cfg.pixel_decoder, cfg.swin.out_channels
     )
-    mask_features, _, ms = fpn_pixel_decoder_apply(params, cfg.pixel_decoder, _feats(cfg))
+    mask_features, enc, ms = fpn_pixel_decoder_apply(params, cfg.pixel_decoder, _feats(cfg))
     assert mask_features.shape == (2, 16, 24, cfg.pixel_decoder.mask_dim)
+    assert enc is None
     assert ms[0].shape[1:3] == (8, 12)  # lowest-res first
+    assert np.isfinite(np.asarray(mask_features)).all()
+
+
+def test_fpn_upsample_is_nearest(rng):
+    """The FPN top-down upsample must be nearest (fpn.py:150), matching torch
+    F.interpolate(mode='nearest')."""
+    from rba_tpu.ops.resize import resize_nearest_nhwc
+
+    x = rng.randn(1, 5, 7, 3).astype(np.float32)
+    got = np.asarray(resize_nearest_nhwc(jnp.asarray(x), (11, 13)))
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(11, 13), mode="nearest"
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_transformer_encoder_pixel_decoder():
+    cfg = tiny_test_config()
+    params = transformer_encoder_pixel_decoder_init(
+        jax.random.PRNGKey(0), cfg, cfg.swin.out_channels
+    )
+    mask_features, enc, ms = transformer_encoder_pixel_decoder_apply(params, cfg, _feats(cfg))
+    assert mask_features.shape == (2, 16, 24, cfg.pixel_decoder.mask_dim)
+    assert enc is not None and enc.shape == (2, 8, 12, cfg.pixel_decoder.conv_dim)
+    assert ms[0].shape[1:3] == (8, 12)
     assert np.isfinite(np.asarray(mask_features)).all()
 
 
@@ -38,13 +89,229 @@ def test_standard_decoder():
                                    enc_layers=1, dec_layers=2)
     x = jnp.ones((2, 8, 12, 64))
     mask_features = jnp.ones((2, 16, 24, cfg.decoder.mask_dim))
-    out = standard_decoder_apply(params, cfg, x, mask_features)
+    out = standard_decoder_apply(params, cfg, x, mask_features, deep_supervision=False)
     assert out["pred_logits"].shape == (2, cfg.decoder.num_queries, cfg.num_classes + 1)
     assert out["pred_masks"].shape == (2, cfg.decoder.num_queries, 16, 24)
+    assert out["aux_outputs"] == []
+
+
+def _load_torch_standard(td, enc_layers, dec_layers, mask_classification):
+    params = {
+        "query_embed": jnp.asarray(td.query_embed.weight.detach().numpy()),
+        "input_proj": {
+            "kernel": jnp.asarray(
+                td.input_proj.weight.detach().numpy().transpose(2, 3, 1, 0)
+            ),
+            "bias": jnp.asarray(td.input_proj.bias.detach().numpy()),
+        },
+        "enc_layers": [
+            {
+                "attn": t2j_mha(td.enc_self[i]),
+                "norm1": t2j_ln(td.enc_n1[i]),
+                "linear1": t2j_linear(td.enc_l1[i]),
+                "linear2": t2j_linear(td.enc_l2[i]),
+                "norm2": t2j_ln(td.enc_n2[i]),
+            }
+            for i in range(enc_layers)
+        ],
+        "dec_layers": [
+            {
+                "self_attn": t2j_mha(td.dec_self[i]),
+                "norm1": t2j_ln(td.dec_n1[i]),
+                "cross_attn": t2j_mha(td.dec_cross[i]),
+                "norm2": t2j_ln(td.dec_n2[i]),
+                "linear1": t2j_linear(td.dec_l1[i]),
+                "linear2": t2j_linear(td.dec_l2[i]),
+                "norm3": t2j_ln(td.dec_n3[i]),
+            }
+            for i in range(dec_layers)
+        ],
+        "decoder_norm": t2j_ln(td.decoder_norm),
+        "mask_embed": {"layers": [t2j_linear(m) for m in td.mask_mlp]},
+    }
+    if mask_classification:
+        params["class_embed"] = t2j_linear(td.class_embed)
+    return params
+
+
+def test_standard_decoder_deep_supervision_golden(rng):
+    """Full torch parity for the v1 decoder with deep supervision, in both
+    class modes (mask_classification=False is the PerPixelBaselinePlusHead
+    predictor, reference per_pixel_baseline.py:295-299)."""
+    from tests.torch_refs import TorchStandardDecoder
+
+    in_ch, hd, nh, ff, nq, md, nc = 48, 32, 4, 64, 6, 32, 5
+    enc_l, dec_l = 1, 3
+    h, w = 8, 12
+    x = rng.randn(2, in_ch, h, w).astype(np.float32)
+    mask_features = rng.randn(2, md, 16, 24).astype(np.float32)
+
+    for mask_classification in (True, False):
+        td = TorchStandardDecoder(
+            in_ch, hd, nh, ff, enc_l, dec_l, nq, md,
+            num_classes=nc if mask_classification else None,
+        )
+        with torch.no_grad():
+            td.query_embed.weight.normal_(0, 0.5)
+        masks_t, logits_t = td(torch.from_numpy(x), torch.from_numpy(mask_features))
+
+        base = tiny_test_config(num_classes=nc)
+        cfg = dataclasses.replace(
+            base,
+            decoder=dataclasses.replace(
+                base.decoder, hidden_dim=hd, num_queries=nq, nheads=nh,
+                dim_feedforward=ff, mask_dim=md,
+                enc_layers=enc_l, dec_layers_total=dec_l,
+            ),
+        )
+        params = _load_torch_standard(td, enc_l, dec_l, mask_classification)
+        out = standard_decoder_apply(
+            params, cfg,
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(mask_features.transpose(0, 2, 3, 1)),
+            deep_supervision=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred_masks"]), masks_t[-1].detach().numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert len(out["aux_outputs"]) == dec_l - 1
+        for i, aux in enumerate(out["aux_outputs"]):
+            np.testing.assert_allclose(
+                np.asarray(aux["pred_masks"]), masks_t[i].detach().numpy(),
+                rtol=1e-4, atol=1e-4,
+            )
+        if mask_classification:
+            np.testing.assert_allclose(
+                np.asarray(out["pred_logits"]), logits_t[-1].detach().numpy(),
+                rtol=1e-4, atol=1e-4,
+            )
+        else:
+            assert "pred_logits" not in out
+            assert all(set(a) == {"pred_masks"} for a in out["aux_outputs"])
 
 
 def test_per_pixel_head():
-    cfg = tiny_test_config()
+    cfg = _fpn_cfg()
     params = per_pixel_head_init(jax.random.PRNGKey(0), cfg, cfg.swin.out_channels)
     logits = per_pixel_head_apply(params, cfg, _feats(cfg))
     assert logits.shape == (2, cfg.num_classes, 16, 24)
+
+
+def test_per_pixel_plus_head():
+    base = tiny_test_config()
+    cfg = dataclasses.replace(
+        base,
+        sem_seg_head_name="PerPixelBaselinePlusHead",
+        pixel_decoder=dataclasses.replace(
+            base.pixel_decoder, name="TransformerEncoderPixelDecoder"
+        ),
+        decoder=dataclasses.replace(
+            base.decoder,
+            transformer_in_feature="transformer_encoder",
+            num_queries=base.num_classes,  # Q = K: pred_masks are class logits
+            dec_layers_total=2,
+        ),
+    )
+    params = per_pixel_plus_head_init(jax.random.PRNGKey(0), cfg, cfg.swin.out_channels)
+    logits, aux = per_pixel_plus_head_apply(params, cfg, _feats(cfg))
+    assert logits.shape == (2, cfg.num_classes, 16, 24)
+    assert len(aux) == 1  # dec_layers_total - 1 deep-supervision outputs
+    assert aux[0]["pred_masks"].shape == logits.shape
+
+
+def _head_combo_cfg(head_name, pd_name):
+    base = tiny_test_config()
+    in_feat = (
+        "transformer_encoder" if pd_name == "TransformerEncoderPixelDecoder"
+        else "res3"
+    )
+    return dataclasses.replace(
+        base,
+        sem_seg_head_name=head_name,
+        pixel_decoder=dataclasses.replace(base.pixel_decoder, name=pd_name),
+        decoder=dataclasses.replace(
+            base.decoder,
+            transformer_in_feature=in_feat,
+            num_queries=base.num_classes,
+            dec_layers_total=2,
+        ),
+    )
+
+
+def test_head_dispatch_end_to_end(rng):
+    """Every SEM_SEG_HEAD.NAME x PIXEL_DECODER_NAME combination is selectable
+    by config and runs end-to-end through maskformer_infer + the head losses
+    (VERDICT r2 task 2)."""
+    from rba_tpu.models.maskformer import maskformer_infer, maskformer_init, preprocess
+    from rba_tpu.models.maskformer import per_pixel_forward
+
+    img = (rng.rand(1, 32, 32, 3) * 255).astype(np.float32)
+    targets = rng.randint(0, 7, (1, 32, 32)).astype(np.int32)
+    targets[0, :4] = 255  # ignore region
+
+    combos = [
+        ("MaskFormerHead", "BasePixelDecoder"),
+        ("MaskFormerHead", "TransformerEncoderPixelDecoder"),
+        ("PerPixelBaselineHead", "MSDeformAttnPixelDecoder"),
+        ("PerPixelBaselineHead", "BasePixelDecoder"),
+        ("PerPixelBaselinePlusHead", "BasePixelDecoder"),
+        ("PerPixelBaselinePlusHead", "TransformerEncoderPixelDecoder"),
+    ]
+    for head_name, pd_name in combos:
+        cfg = _head_combo_cfg(head_name, pd_name)
+        params = maskformer_init(jax.random.PRNGKey(0), cfg)
+        out = maskformer_infer(params, cfg, jnp.asarray(img))
+        assert out["sem_seg"].shape == (1, cfg.num_classes, 32, 32), (head_name, pd_name)
+        assert out["rba"].shape == (1, 32, 32)
+        assert np.isfinite(np.asarray(out["sem_seg"])).all(), (head_name, pd_name)
+        if head_name != "MaskFormerHead":
+            logits, aux = per_pixel_forward(params, cfg, preprocess(cfg, jnp.asarray(img)))
+            losses = per_pixel_losses(
+                cfg, jax.random.PRNGKey(1), logits, aux, jnp.asarray(targets)
+            )
+            assert np.isfinite(float(losses["loss_sem_seg"]))
+            if head_name == "PerPixelBaselinePlusHead":
+                assert "loss_sem_seg_0" in losses
+
+
+def test_per_pixel_point_rend_loss(rng):
+    """Point-rend CE variant (USE_POINT_REND) runs and is finite; dense CE
+    against a torch cross_entropy oracle."""
+    base = _fpn_cfg()
+    cfg = dataclasses.replace(
+        base, loss=dataclasses.replace(base.loss, use_point_rend=True,
+                                       train_num_points=64),
+    )
+    logits = jnp.asarray(rng.randn(2, 7, 8, 8).astype(np.float32))
+    targets = rng.randint(0, 7, (2, 32, 32)).astype(np.int32)
+    targets[:, :3] = 255
+    losses = per_pixel_losses(cfg, jax.random.PRNGKey(0), logits, [], jnp.asarray(targets))
+    assert np.isfinite(float(losses["loss_sem_seg"]))
+
+    # dense path == torch F.cross_entropy(ignore_index=255) on x4-upsampled logits
+    dense_cfg = _fpn_cfg()
+    losses_d = per_pixel_losses(
+        dense_cfg, jax.random.PRNGKey(0), logits, [], jnp.asarray(targets)
+    )
+    up = torch.nn.functional.interpolate(
+        torch.from_numpy(np.asarray(logits)), scale_factor=4, mode="bilinear",
+        align_corners=False,
+    )
+    want = torch.nn.functional.cross_entropy(
+        up, torch.from_numpy(targets).long(), ignore_index=255
+    ).item()
+    np.testing.assert_allclose(float(losses_d["loss_sem_seg"]), want, rtol=1e-5)
+
+
+def test_build_pixel_decoder_dispatch():
+    cfg = tiny_test_config()
+    for name in ("MSDeformAttnPixelDecoder", "BasePixelDecoder",
+                 "TransformerEncoderPixelDecoder"):
+        c = dataclasses.replace(
+            cfg, pixel_decoder=dataclasses.replace(cfg.pixel_decoder, name=name)
+        )
+        init, apply = build_pixel_decoder(c)
+        p = init(jax.random.PRNGKey(0), cfg.swin.out_channels)
+        mf, enc, ms = apply(p, _feats(cfg), jnp.float32)
+        assert mf.shape[-1] == cfg.pixel_decoder.mask_dim

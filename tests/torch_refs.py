@@ -627,3 +627,66 @@ class TorchPixelDecoderFull(nn.Module):
             up = F.interpolate(y, size=lat.shape[-2:], mode="bilinear", align_corners=False)
             y = F.relu(self.out_gns[k](self.out_convs[k](lat + up)))
         return self.mask_features(y), enc
+
+
+class TorchStandardDecoder(nn.Module):
+    """StandardTransformerDecoder re-derivation (paper / reference
+    maskformer_transformer_decoder.py:30-165 + DETR transformer.py post-norm):
+    optional encoder layers on the flattened input feature, decoder layers
+    over learned queries with return-intermediate deep supervision, mask-embed
+    MLP einsum against mask_features; ``num_classes=None`` disables the class
+    head (the PerPixelBaselinePlusHead mode, mask_classification=False)."""
+
+    def __init__(self, in_ch, hd, nh, ff, enc_layers, dec_layers, nq, md,
+                 num_classes=None):
+        super().__init__()
+        self.hd, self.nh = hd, nh
+        self.input_proj = nn.Conv2d(in_ch, hd, 1)
+        self.query_embed = nn.Embedding(nq, hd)
+        self.enc_self = nn.ModuleList(nn.MultiheadAttention(hd, nh) for _ in range(enc_layers))
+        self.enc_l1 = nn.ModuleList(nn.Linear(hd, ff) for _ in range(enc_layers))
+        self.enc_l2 = nn.ModuleList(nn.Linear(ff, hd) for _ in range(enc_layers))
+        self.enc_n1 = nn.ModuleList(nn.LayerNorm(hd) for _ in range(enc_layers))
+        self.enc_n2 = nn.ModuleList(nn.LayerNorm(hd) for _ in range(enc_layers))
+        self.dec_self = nn.ModuleList(nn.MultiheadAttention(hd, nh) for _ in range(dec_layers))
+        self.dec_cross = nn.ModuleList(nn.MultiheadAttention(hd, nh) for _ in range(dec_layers))
+        self.dec_l1 = nn.ModuleList(nn.Linear(hd, ff) for _ in range(dec_layers))
+        self.dec_l2 = nn.ModuleList(nn.Linear(ff, hd) for _ in range(dec_layers))
+        self.dec_n1 = nn.ModuleList(nn.LayerNorm(hd) for _ in range(dec_layers))
+        self.dec_n2 = nn.ModuleList(nn.LayerNorm(hd) for _ in range(dec_layers))
+        self.dec_n3 = nn.ModuleList(nn.LayerNorm(hd) for _ in range(dec_layers))
+        self.decoder_norm = nn.LayerNorm(hd)
+        self.class_embed = nn.Linear(hd, num_classes + 1) if num_classes else None
+        self.mask_mlp = nn.ModuleList([nn.Linear(hd, hd), nn.Linear(hd, hd), nn.Linear(hd, md)])
+
+    def _mlp(self, x):
+        for i, l in enumerate(self.mask_mlp):
+            x = F.relu(l(x)) if i < len(self.mask_mlp) - 1 else l(x)
+        return x
+
+    def forward(self, x, mask_features):
+        B, C, H, W = x.shape
+        pos = torch_sine_pos_embed(H, W, self.hd // 2).repeat(B, 1, 1, 1)
+        pos = pos.flatten(2).permute(2, 0, 1)  # (HW, B, hd)
+        src = self.input_proj(x).flatten(2).permute(2, 0, 1)
+        for i in range(len(self.enc_self)):
+            q = k = src + pos
+            src2 = self.enc_self[i](q, k, value=src)[0]
+            src = self.enc_n1[i](src + src2)
+            src2 = self.enc_l2[i](F.relu(self.enc_l1[i](src)))
+            src = self.enc_n2[i](src + src2)
+        qe = self.query_embed.weight[:, None].repeat(1, B, 1)  # (Q, B, hd)
+        tgt = torch.zeros_like(qe)
+        inter = []
+        for i in range(len(self.dec_self)):
+            q = k = tgt + qe
+            t2 = self.dec_self[i](q, k, value=tgt)[0]
+            tgt = self.dec_n1[i](tgt + t2)
+            t2 = self.dec_cross[i](tgt + qe, src + pos, value=src)[0]
+            tgt = self.dec_n2[i](tgt + t2)
+            t2 = self.dec_l2[i](F.relu(self.dec_l1[i](tgt)))
+            tgt = self.dec_n3[i](tgt + t2)
+            inter.append(self.decoder_norm(tgt).transpose(0, 1))  # (B, Q, hd)
+        masks = [torch.einsum("bqc,bchw->bqhw", self._mlp(h), mask_features) for h in inter]
+        logits = [self.class_embed(h) for h in inter] if self.class_embed else None
+        return masks, logits
