@@ -4,8 +4,22 @@
 datasets.  Thin alias for ``python -m rba_tpu.evalx.sweep`` — same flags
 (--models_folder, --datasets_folder, --model_mode, --dataset_mode,
 --score_func, --store_anomaly_scores, ...).
+
+``--selfcheck`` instead runs the turnkey parity pre-validation
+(rba_tpu/tools/selfcheck.py): export golden torch weights to a real
+D2-format model_final.pth, convert through the production pipeline, and
+assert score-map parity <= 1e-3 — so evaluating real released checkpoints
+the moment they are available is a single already-validated command.
 """
-from rba_tpu.evalx.sweep import main
+import sys
 
 if __name__ == "__main__":
-    main()
+    if "--selfcheck" in sys.argv:
+        sys.argv.remove("--selfcheck")
+        from rba_tpu.tools.selfcheck import main as selfcheck_main
+
+        selfcheck_main()
+    else:
+        from rba_tpu.evalx.sweep import main
+
+        main()

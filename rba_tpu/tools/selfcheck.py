@@ -1,0 +1,279 @@
+"""Turnkey real-checkpoint parity self-check.
+
+The defining capability claim — score parity with the released Detectron2
+checkpoints — cannot be proven in an environment without ``model_final.pth``
+files or the real eval datasets.  This tool pre-validates the ENTIRE parity
+pipeline so that the moment real weights/datasets appear, parity is one
+command (``python evaluate_ood.py --models_folder ckpts/ --datasets_folder
+datasets/ --exact``) with every stage already exercised:
+
+  1. builds a torch Mask2Former-style model at the released swin_b_1dl
+     architecture (reduced input), exports its weights to a REAL D2-format
+     ``model_final.pth`` (``torch.save({"model": state_dict})``) next to a
+     D2 ``config.yaml``,
+  2. loads that directory through the production path (config ingestion →
+     ``load_checkpoint_params`` on-the-fly conversion → jitted scoring),
+  3. scores a synthetic labeled set with BOTH the torch model and the
+     converted JAX model and asserts per-pixel RbA score-map parity <= 1e-3,
+  4. runs the exact-metrics evaluation both ways and reports the deltas.
+
+Usage:
+    python evaluate_ood.py --selfcheck            # full swin_b_1dl arch
+    python -m rba_tpu.tools.selfcheck --tiny      # miniature arch (CI)
+
+Reference spec: /root/reference/evaluate_ood.py:108-124 (get_model:
+setup + build_model + DetectionCheckpointer), MODEL_ZOO.md tables.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def write_d2_config(cfg, path: str) -> None:
+    """Emit a minimal Detectron2-format config.yaml describing ``cfg`` — the
+    same key schema the released ckpts/*/config.yaml files use, so the
+    selfcheck exercises the production ingestion path."""
+    import yaml
+
+    d = {
+        "MODEL": {
+            "BACKBONE": {"NAME": "D2SwinTransformer"},
+            "SWIN": {
+                "PATCH_SIZE": cfg.swin.patch_size,
+                "EMBED_DIM": cfg.swin.embed_dim,
+                "DEPTHS": list(cfg.swin.depths),
+                "NUM_HEADS": list(cfg.swin.num_heads),
+                "WINDOW_SIZE": cfg.swin.window_size,
+                "MLP_RATIO": cfg.swin.mlp_ratio,
+                "QKV_BIAS": cfg.swin.qkv_bias,
+                "APE": cfg.swin.ape,
+                "PATCH_NORM": cfg.swin.patch_norm,
+                "DROP_PATH_RATE": cfg.swin.drop_path_rate,
+                "PRETRAIN_IMG_SIZE": cfg.swin.pretrain_img_size,
+                "OUT_FEATURES": list(cfg.swin.out_features),
+            },
+            "SEM_SEG_HEAD": {
+                "NAME": cfg.sem_seg_head_name,
+                "NUM_CLASSES": cfg.num_classes,
+                "CONVS_DIM": cfg.pixel_decoder.conv_dim,
+                "MASK_DIM": cfg.pixel_decoder.mask_dim,
+                "NORM": cfg.pixel_decoder.norm,
+                "IN_FEATURES": list(cfg.pixel_decoder.in_features),
+                "DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES": list(
+                    cfg.pixel_decoder.transformer_in_features
+                ),
+                "TRANSFORMER_ENC_LAYERS": cfg.pixel_decoder.transformer_enc_layers,
+                "PIXEL_DECODER_NAME": cfg.pixel_decoder.name,
+                "COMMON_STRIDE": cfg.pixel_decoder.common_stride,
+            },
+            "MASK_FORMER": {
+                "HIDDEN_DIM": cfg.decoder.hidden_dim,
+                "NUM_OBJECT_QUERIES": cfg.decoder.num_queries,
+                "NHEADS": cfg.decoder.nheads,
+                "DIM_FEEDFORWARD": cfg.decoder.dim_feedforward,
+                "DEC_LAYERS": cfg.decoder.dec_layers + 1,
+                "PRE_NORM": cfg.decoder.pre_norm,
+                "ENFORCE_INPUT_PROJ": cfg.decoder.enforce_input_project,
+                "SIZE_DIVISIBILITY": cfg.input.size_divisibility,
+                "TRANSFORMER_DECODER_NAME": cfg.decoder.name,
+                "TRANSFORMER_IN_FEATURE": cfg.decoder.transformer_in_feature,
+            },
+            "PIXEL_MEAN": list(cfg.input.pixel_mean),
+            "PIXEL_STD": list(cfg.input.pixel_std),
+        },
+        "INPUT": {
+            "MIN_SIZE_TEST": cfg.input.min_size_test,
+            "MAX_SIZE_TEST": cfg.input.max_size_test,
+            "FORMAT": cfg.input.image_format,
+        },
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f)
+
+
+def build_torch_model(cfg, seed: int = 0):
+    """Torch modules at the dims of ``cfg`` (same builders as the full-scale
+    golden, tests/torch_refs.py)."""
+    import torch
+
+    sys.path.insert(0, _repo_root())
+    from tests.torch_refs import (
+        TorchMiniMaskedDecoder,
+        TorchPixelDecoderFull,
+        TorchSwinFull,
+    )
+
+    torch.manual_seed(seed)
+    swin = TorchSwinFull(
+        embed_dim=cfg.swin.embed_dim, depths=cfg.swin.depths,
+        num_heads=cfg.swin.num_heads, window=cfg.swin.window_size,
+    )
+    with torch.no_grad():
+        for stage in swin.blocks:
+            for blk in stage:
+                blk.attn.relative_position_bias_table.normal_(0, 0.5)
+    in_ch = {
+        f"res{i + 2}": cfg.swin.embed_dim * 2**i
+        for i in range(len(cfg.swin.depths))
+    }
+    tf = cfg.pixel_decoder.transformer_in_features[-1]
+    fpn = tuple(f for f in reversed(cfg.pixel_decoder.in_features) if f != tf)
+    pd = TorchPixelDecoderFull(
+        in_ch, conv_dim=cfg.pixel_decoder.conv_dim,
+        mask_dim=cfg.pixel_decoder.mask_dim,
+        enc_layers=cfg.pixel_decoder.transformer_enc_layers,
+        nheads=cfg.pixel_decoder.transformer_nheads,
+        ffn=cfg.pixel_decoder.transformer_dim_feedforward,
+        transformer_feature=tf, fpn_features=fpn,
+    )
+    with torch.no_grad():
+        for l in pd.layers:
+            l.attn.sampling_offsets.weight.normal_(0, 0.01)
+            l.attn.sampling_offsets.bias.normal_(0, 0.3)
+    dec = TorchMiniMaskedDecoder(
+        cfg.decoder.hidden_dim, cfg.decoder.nheads, cfg.decoder.dim_feedforward,
+        cfg.decoder.dec_layers, cfg.decoder.num_queries, cfg.num_classes,
+        cfg.decoder.mask_dim, num_levels=1,
+    )
+    with torch.no_grad():
+        for emb in (dec.query_feat, dec.query_embed, dec.level_embed):
+            emb.weight.normal_(0, 0.5)
+    return swin, pd, dec
+
+
+def export_checkpoint(swin, pd, dec, cfg, model_dir: str) -> None:
+    """Real D2-format checkpoint: torch.save({"model": state_dict}) +
+    config.yaml — byte-layout identical to a released ``model_final.pth``."""
+    import torch
+
+    sys.path.insert(0, _repo_root())
+    from tests.test_full_stack_golden import _export_d2_state_dict
+
+    sd = _export_d2_state_dict(swin, pd, dec, query_feat_key="static_query")
+    os.makedirs(model_dir, exist_ok=True)
+    torch.save(
+        {"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
+        os.path.join(model_dir, "model_final.pth"),
+    )
+    write_d2_config(cfg, os.path.join(model_dir, "config.yaml"))
+
+
+def torch_rba_scores(swin, pd, dec, cfg, images) -> "np.ndarray":
+    """Reference-semantics RbA scoring of uint8 images (normalize → forward →
+    mask upsample → softmax⊗sigmoid einsum → -Σ tanh), mirroring
+    evaluate_ood.py:143-150 + maskformer_model.py eval branch."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, _repo_root())
+    from tests.torch_refs import torch_sine_pos_embed
+
+    mean = np.asarray(cfg.input.pixel_mean, np.float32)
+    std = np.asarray(cfg.input.pixel_std, np.float32)
+    out = []
+    with torch.no_grad():
+        for img in images:
+            h, w = img.shape[:2]
+            x = (img.astype(np.float32) - mean) / std
+            x = torch.from_numpy(x.transpose(2, 0, 1)[None])
+            feats = swin(x)
+            mask_features, enc = pd(feats)
+            pos = torch_sine_pos_embed(
+                enc.shape[2], enc.shape[3], cfg.decoder.hidden_dim // 2
+            )
+            cls_list, mask_list = dec([enc], [pos], mask_features)
+            mask_pred = F.interpolate(
+                mask_list[-1], size=(h, w), mode="bilinear", align_corners=False
+            )
+            probs = torch.softmax(cls_list[-1], dim=-1)[..., :-1]
+            sem = torch.einsum("bqc,bqhw->bchw", probs, mask_pred.sigmoid())
+            out.append((-sem.tanh().sum(1))[0].numpy())
+    return np.stack(out)
+
+
+def run_selfcheck(workdir: str, tiny: bool, n_images: int, hw, tol: float) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # bit-stable parity arithmetic
+    import numpy as np
+
+    from ..config import load_d2_config, tiny_test_config
+    from ..data.ood_datasets import SyntheticAnomaly
+    from ..evalx.evaluator import OODEvaluator
+    from ..evalx.sweep import load_model
+
+    if tiny:
+        arch = tiny_test_config()
+    else:
+        arch = load_d2_config("/root/reference/ckpts/swin_b_1dl/config.yaml")
+
+    model_dir = os.path.join(workdir, "ckpts", "selfcheck")
+    swin, pd, dec = build_torch_model(arch)
+    export_checkpoint(swin, pd, dec, arch, model_dir)
+
+    # production load path: config.yaml ingestion + .pth conversion
+    cfg, params = load_model(model_dir)
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")  # CPU parity mode
+
+    ds = SyntheticAnomaly(n=n_images, hw=tuple(hw))
+    images = [ds[i].image for i in range(len(ds))]
+
+    rba_torch = torch_rba_scores(swin, pd, dec, cfg, images)
+
+    ev = OODEvaluator(cfg, params)
+    scores, gts = ev.compute_anomaly_scores(ds)
+
+    delta = float(np.abs(scores - rba_torch).max())
+    m_jax = ev.evaluate_ood(scores, gts)
+    m_torch = ev.evaluate_ood(rba_torch, gts)
+    result = {
+        "mode": "tiny" if tiny else "swin_b_1dl",
+        "n_images": n_images,
+        "hw": list(hw),
+        "max_score_delta": delta,
+        "tolerance": tol,
+        "metrics_jax": m_jax,
+        "metrics_torch": m_torch,
+        "metric_deltas": {k: abs(m_jax[k] - m_torch[k]) for k in m_jax},
+        "pass": delta <= tol,
+    }
+    return result
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default=None,
+                    help="scratch dir for the exported checkpoint (default: tmp)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="miniature architecture (seconds instead of minutes)")
+    ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--hw", default=None, help="synthetic image HxW")
+    ap.add_argument("--tol", type=float, default=1e-3)
+    args = ap.parse_args(argv)
+
+    hw = (
+        tuple(int(v) for v in args.hw.split("x"))
+        if args.hw else ((64, 96) if args.tiny else (128, 256))
+    )
+    workdir = args.workdir or tempfile.mkdtemp(prefix="rba_selfcheck_")
+    result = run_selfcheck(workdir, args.tiny, args.images, hw, args.tol)
+    print(json.dumps(result, indent=2))
+    if not result["pass"]:
+        raise SystemExit(
+            f"selfcheck FAILED: max score delta {result['max_score_delta']} > {args.tol}"
+        )
+    print("selfcheck PASS")
+
+
+if __name__ == "__main__":
+    main()
