@@ -70,43 +70,71 @@ def random_crop(rng: random.Random, image, sem_seg, crop_hw: Tuple[int, int],
     return image[y : y + ch, x : x + cw], sem_seg[y : y + ch, x : x + cw]
 
 
+# cv2 RGB2HSV_b fixed-point tables (hsv_shift = 12): hue/saturation division
+# is table-based integer arithmetic, so a float re-derivation is off by one
+# LSB on ~2% of pixels.  Replicating the public OpenCV algorithm makes the
+# conversion element-exact vs cv2.cvtColor (pinned in
+# tests/test_literal_semantics.py against the installed cv2).
+_HSV_SHIFT = 12
+_SDIV_TABLE = np.zeros(256, np.int64)
+_SDIV_TABLE[1:] = np.rint((255 << _HSV_SHIFT) / np.arange(1, 256)).astype(np.int64)
+_HDIV_TABLE = np.zeros(256, np.int64)
+_HDIV_TABLE[1:] = np.rint((180 << _HSV_SHIFT) / (6.0 * np.arange(1, 256))).astype(np.int64)
+
+
 def _rgb_to_hsv_cv2(rgb: np.ndarray) -> np.ndarray:
     """uint8 RGB → uint8 HSV with OpenCV conventions: H in [0, 180)
     (degrees/2), S and V in [0, 255] — the color space ColorAugSSDTransform
     operates in (its saturation/hue ops assume cv2 ranges, NOT PIL's
-    0..255 hue wheel)."""
-    r, g, b = [rgb[..., i].astype(np.float32) for i in range(3)]
+    0..255 hue wheel).  Bit-exact vs ``cv2.cvtColor(x, COLOR_RGB2HSV)``."""
+    r, g, b = [rgb[..., i].astype(np.int64) for i in range(3)]
     v = np.maximum(np.maximum(r, g), b)
-    mn = np.minimum(np.minimum(r, g), b)
-    diff = v - mn
-    s = np.where(v > 0, 255.0 * diff / np.maximum(v, 1e-9), 0.0)
-    # cv2 hue: 60*(g-b)/diff if v==r; 120+60*(b-r)/diff if v==g; 240+60*(r-g)/diff
-    d = np.maximum(diff, 1e-9)
+    vmin = np.minimum(np.minimum(r, g), b)
+    diff = v - vmin
+    s = (diff * _SDIV_TABLE[v] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     h = np.where(
-        v == r, 60.0 * (g - b) / d,
-        np.where(v == g, 120.0 + 60.0 * (b - r) / d, 240.0 + 60.0 * (r - g) / d),
+        v == r, g - b,
+        np.where(v == g, b - r + 2 * diff, r - g + 4 * diff),
     )
-    h = np.where(diff == 0, 0.0, h)
-    h = np.where(h < 0, h + 360.0, h) / 2.0
-    return np.stack(
-        [np.round(h), np.round(s), np.round(v)], axis=-1
-    ).clip(0, 255).astype(np.uint8)
+    h = (h * _HDIV_TABLE[diff] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h = np.where(h < 0, h + 180, h)
+    return np.stack([h, s, v], axis=-1).astype(np.uint8)
+
+
+# OpenCV HSV2RGB sector table: per 60-degree sector, which of
+# (v, v(1-s), v(1-s*f), v(1-s*(1-f))) feeds each of (b, g, r)
+_SECTOR_DATA = np.array(
+    [[1, 3, 0], [1, 0, 2], [3, 0, 1], [0, 2, 1], [0, 1, 3], [2, 1, 0]], np.int64
+)
 
 
 def _hsv_to_rgb_cv2(hsv: np.ndarray) -> np.ndarray:
-    h = hsv[..., 0].astype(np.float32) * 2.0  # degrees
-    s = hsv[..., 1].astype(np.float32) / 255.0
-    v = hsv[..., 2].astype(np.float32)
-    c = v * s
-    hp = h / 60.0
-    x = c * (1.0 - np.abs(hp % 2.0 - 1.0))
-    z = np.zeros_like(c)
-    conds = [(hp < 1), (hp < 2), (hp < 3), (hp < 4), (hp < 5)]
-    r = np.select(conds, [c, x, z, z, x], default=c)
-    g = np.select(conds, [x, c, c, x, z], default=z)
-    b = np.select(conds, [z, z, x, c, c], default=x)
-    m = v - c
-    return np.round(np.stack([r + m, g + m, b + m], axis=-1)).clip(0, 255).astype(np.uint8)
+    """uint8 HSV (cv2 ranges) → uint8 RGB matching
+    ``cv2.cvtColor(x, COLOR_HSV2RGB)``: normalized f32 sector kernel with
+    TRUNCATING uint8 conversion.  Exactness vs the installed cv2 5.0
+    (vectorized build), measured exhaustively over all 180×256×256 valid
+    HSV triples: 99.996% bit-exact, the rest ±1 LSB (cv2's SIMD kernel
+    fuses one multiply-add we can't express in numpy) — pinned in
+    tests/test_literal_semantics.py."""
+    ft = np.float32
+    h = hsv[..., 0].astype(ft) * ft(6.0 / 180.0)
+    s = hsv[..., 1].astype(ft) * ft(1.0 / 255.0)
+    v = hsv[..., 2].astype(ft) * ft(1.0 / 255.0)
+    h = h - ft(6.0) * np.floor(h / ft(6.0))
+    sector = np.minimum(np.floor(h).astype(np.int64), 5)
+    f = (h - sector).astype(ft)
+    one = ft(1.0)
+    tab = np.stack(
+        [v,
+         (v * (one - s)).astype(ft),
+         (v * (one - s * f)).astype(ft),
+         (v * (one - (s - s * f))).astype(ft)],
+        axis=-1,
+    )  # (..., 4)
+    bgr_idx = _SECTOR_DATA[sector]  # (..., 3) → indices into tab for (b, g, r)
+    bgr = np.take_along_axis(tab, bgr_idx, axis=-1)
+    rgb = (bgr[..., ::-1] * ft(255.0)).astype(ft)
+    return np.trunc(rgb).clip(0, 255).astype(np.uint8)
 
 
 def color_aug_ssd(rng: random.Random, image: np.ndarray) -> np.ndarray:
