@@ -140,13 +140,18 @@ def _export_d2_state_dict(swin, pd, dec, query_feat_key="query_feat"):
     return sd
 
 
-def test_full_scale_swin_b_golden(rng):
-    """The released swin_b_1dl architecture at reduced input (256×512):
-    window 12 with 23×23 rel-pos tables, embed 128, depths 2/2/18/2, 6
-    deformable encoder layers on res5, 3 FPN laterals, 1 masked decoder
-    layer, Q=100 — weights exported under the real D2 names including the
-    historical static_query rename, RbA map parity ≤1e-3
-    (spec: /root/reference/ckpts/swin_b_1dl/config.yaml)."""
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["swin_b_1dl", "swin_l_1dl"])
+def test_full_scale_swin_golden(rng, variant):
+    """The released swin_b_1dl / swin_l_1dl architectures at reduced input
+    (256×512): window 12 with 23×23 rel-pos tables, depths 2/2/18/2 (B:
+    embed 128 heads 4/8/16/32; L: embed 192 heads 6/12/24/48), 6 deformable
+    encoder layers on res5, 3 FPN laterals, 1 masked decoder layer, Q=100 —
+    weights exported under the real D2 names including the historical
+    static_query rename, RbA map parity ≤1e-3
+    (spec: /root/reference/ckpts/{swin_b_1dl,swin_l_1dl}/config.yaml)."""
     from rba_tpu.config import load_d2_config
     from tests.torch_refs import (
         TorchMiniMaskedDecoder,
@@ -156,22 +161,24 @@ def test_full_scale_swin_b_golden(rng):
     )
 
     cfg = load_d2_config(
-        "/root/reference/ckpts/swin_b_1dl/config.yaml", compute_dtype="float32"
+        f"/root/reference/ckpts/{variant}/config.yaml", compute_dtype="float32"
     )
     assert cfg.swin.window_size == 12 and cfg.swin.depths == (2, 2, 18, 2)
     assert cfg.decoder.dec_layers == 1 and cfg.decoder.num_queries == 100
     assert cfg.pixel_decoder.transformer_enc_layers == 6
     assert cfg.pixel_decoder.transformer_in_features == ("res5",)
+    if variant == "swin_l_1dl":
+        assert cfg.swin.embed_dim == 192 and cfg.swin.num_heads == (6, 12, 24, 48)
 
     torch.manual_seed(0)
-    swin = TorchSwinFull(embed_dim=128, depths=(2, 2, 18, 2),
-                         num_heads=(4, 8, 16, 32), window=12)
+    swin = TorchSwinFull(embed_dim=cfg.swin.embed_dim, depths=cfg.swin.depths,
+                         num_heads=cfg.swin.num_heads, window=12)
     with torch.no_grad():
         for stage in swin.blocks:
             for blk in stage:
                 # 23x23 rel-pos tables exercised with real (non-zero) values
                 blk.attn.relative_position_bias_table.normal_(0, 0.5)
-    in_ch = {"res2": 128, "res3": 256, "res4": 512, "res5": 1024}
+    in_ch = {f"res{i + 2}": cfg.swin.embed_dim * 2**i for i in range(4)}
     pd = TorchPixelDecoderFull(in_ch, conv_dim=256, mask_dim=256, enc_layers=6,
                                nheads=8, ffn=1024)
     with torch.no_grad():
@@ -189,7 +196,7 @@ def test_full_scale_swin_b_golden(rng):
 
     with torch.no_grad():
         feats = swin(torch.from_numpy(x))
-        assert feats["res5"].shape[1] == 1024
+        assert feats["res5"].shape[1] == cfg.swin.embed_dim * 8
         mask_features, enc = pd(feats)
         pos = torch_sine_pos_embed(enc.shape[2], enc.shape[3], 128)
         cls_list, mask_list = dec([enc], [pos], mask_features)
