@@ -41,6 +41,10 @@ class SwinConfig:
     pretrain_img_size: int = 384
     out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
     use_checkpoint: bool = False  # jax.checkpoint (remat) over blocks
+    # window-attention lowering: "partition" = explicit reshape/transpose
+    # window partition (reference layout); "nested" = transpose-free einsum
+    # on the (B, nHw, ws, nWw, ws, C) view (identical math; perf experiment)
+    attn_layout: str = "partition"
 
     @property
     def num_layers(self) -> int:
@@ -81,6 +85,12 @@ class PixelDecoderConfig:
     # MSDeformAttnPixelDecoder (live path) | BasePixelDecoder |
     # TransformerEncoderPixelDecoder
     name: str = "MSDeformAttnPixelDecoder"
+    # deformable sampling lowering: "gather" (2x2 patch gather + lerp) or
+    # "onehot" (fold bilinear x attention weights into a dense (Lq, HW) row
+    # matrix, contract on the MXU — 3x faster at the 1-level eval shapes,
+    # see ops/deform_sampling._onehot_matmul_level); "auto" picks onehot
+    # when every level's HW is small enough for the dense row matrix
+    sampling_method: str = "auto"
 
     @property
     def num_feature_levels(self) -> int:

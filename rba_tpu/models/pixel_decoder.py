@@ -78,6 +78,7 @@ def ms_deform_attn_apply(
     spatial_shapes: Sequence[Tuple[int, int]],  # static
     n_heads: int,
     n_points: int,
+    sampling_method: str = "auto",
 ) -> jax.Array:
     n, lq, c = query.shape
     nlevels = len(spatial_shapes)
@@ -101,7 +102,7 @@ def ms_deform_attn_apply(
         + offsets / normalizer[None, None, None, :, None, :]
     )
 
-    out = ms_deform_attn_core(value, spatial_shapes, loc, aw)
+    out = ms_deform_attn_core(value, spatial_shapes, loc, aw, method=sampling_method)
     return linear(params["output_proj"], out)
 
 
@@ -121,11 +122,13 @@ def init_encoder_layer(key, d_model: int, d_ffn: int, n_levels: int, n_heads: in
 
 
 def encoder_layer_apply(
-    params, src, pos, reference_points, spatial_shapes, n_heads, n_points
+    params, src, pos, reference_points, spatial_shapes, n_heads, n_points,
+    sampling_method: str = "auto",
 ):
     q = src + pos
     src2 = ms_deform_attn_apply(
-        params["self_attn"], q, reference_points, src, spatial_shapes, n_heads, n_points
+        params["self_attn"], q, reference_points, src, spatial_shapes, n_heads, n_points,
+        sampling_method=sampling_method,
     )
     src = layer_norm(params["norm1"], src + src2)
     ffn = linear(params["linear2"], jax.nn.relu(linear(params["linear1"], src)))
@@ -257,6 +260,7 @@ def pixel_decoder_apply(
         y = encoder_layer_apply(
             layer, y, pos_flat, ref_pts, tuple(spatial_shapes),
             cfg.transformer_nheads, cfg.enc_n_points,
+            sampling_method=cfg.sampling_method,
         )
 
     # split levels back to maps

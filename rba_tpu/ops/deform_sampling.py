@@ -137,16 +137,72 @@ def _bilinear_gather_level_patch(
     )
 
 
+def _onehot_matmul_level(
+    value: jax.Array,  # (N, H, W, M, D)
+    loc: jax.Array,  # (N, Lq, M, P, 2)
+    attn_w: jax.Array,  # (N, Lq, M, P)
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:  # (N, Lq, M, D)
+    """One-hot-matmul formulation: fold the 4P (point x corner) bilinear x
+    attention weights of each query into one sparse row of a dense
+    (Lq, HW) matrix and contract it against the value map on the MXU —
+    out[q, d] = sum_hw A[q, hw] * V[hw, d].  Sidesteps the index-rate-bound
+    gather entirely (12.8 ns/index): measured on v5e at the released 1-level
+    shape (32x64, Lq=2048, M=8, P=4, D=32) the full one-hot path runs
+    0.34 ms vs 1.03 ms for the patch gather (tools/perf_deform_onehot.py).
+    The A-construction is 4P compare-select-accumulate VPU passes over
+    (M, Lq, HW); viable when HW is modest (the 1dl eval configs' res5)."""
+    n, h, w, m, d = value.shape
+    _, lq, _, p, _ = loc.shape
+    hw = h * w
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx, ty = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+    idxs, wgts = [], []
+    for dy, dx, wt in ((0, 0, (1 - tx) * (1 - ty)), (0, 1, tx * (1 - ty)),
+                       (1, 0, (1 - tx) * ty), (1, 1, tx * ty)):
+        yi, xi = y0i + dy, x0i + dx
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idxs.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+        wgts.append(jnp.where(valid, wt, 0.0) * attn_w)
+    idx = jnp.stack(idxs, -1).reshape(n, lq, m, 4 * p)  # (N, Lq, M, P*4)
+    wgt = jnp.stack(wgts, -1).reshape(n, lq, m, 4 * p)
+    idx = jnp.transpose(idx, (0, 2, 1, 3))  # (N, M, Lq, 4P)
+    wgt = jnp.transpose(wgt, (0, 2, 1, 3))
+
+    iota = jnp.arange(hw, dtype=jnp.int32)
+    a = jnp.zeros((n, m, lq, hw), jnp.float32)
+    for k in range(4 * p):
+        oh = (iota[None, None, None, :] == idx[..., k : k + 1]).astype(jnp.float32)
+        a = a + wgt[..., k : k + 1] * oh
+
+    vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))  # (N, M, HW, D)
+    out = jnp.einsum("nmqs,nmsd->nmqd", a, vh, precision=precision)
+    return jnp.transpose(out, (0, 2, 1, 3))  # (N, Lq, M, D)
+
+
 def ms_deform_attn_core(
     value: jax.Array,  # (N, S, M, D) flattened multi-level values
     spatial_shapes: Sequence[Tuple[int, int]],  # static python list of (H, W)
     sampling_locations: jax.Array,  # (N, Lq, M, L, P, 2) in [0, 1]
     attention_weights: jax.Array,  # (N, Lq, M, L, P) softmaxed over L*P
     use_patch_gather: bool = True,
+    method: str = "auto",  # "auto" | "gather" | "onehot"
 ) -> jax.Array:  # (N, Lq, M*D)
     n, s, m, d = value.shape
     _, lq, _, nlevels, p, _ = sampling_locations.shape
     assert nlevels == len(spatial_shapes)
+    if method == "auto":
+        # onehot's dense (N, M, Lq, HW) row matrix: viable when every level
+        # is small (the released 1-level eval configs: res5 = 32x64 = 2048
+        # cells -> 8x2048x2048 = 33.5M elements, 134 MB fp32); cap at 48M
+        # elements so multi-level / high-res configs keep the gather
+        biggest = max(h * w for h, w in spatial_shapes)
+        method = "onehot" if n * m * lq * biggest <= 48 * 1024 * 1024 else "gather"
 
     # compute in fp32 — the reference pins the pixel decoder to fp32 under AMP
     value = value.astype(jnp.float32)
@@ -162,6 +218,11 @@ def ms_deform_attn_core(
     out = jnp.zeros((n, lq, m, d), jnp.float32)
     for lid, (h, w) in enumerate(spatial_shapes):
         v = value[:, offsets[lid] : offsets[lid + 1]].reshape(n, h, w, m, d)
+        if method == "onehot":
+            out = out + _onehot_matmul_level(
+                v, sampling_locations[:, :, :, lid], attention_weights[:, :, :, lid]
+            )
+            continue
         sampled = gather_fn(v, sampling_locations[:, :, :, lid])  # (N,Lq,M,P,D)
         out = out + jnp.einsum(
             "nqmpd,nqmp->nqmd", sampled, attention_weights[:, :, :, lid],

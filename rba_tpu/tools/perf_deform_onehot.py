@@ -83,12 +83,17 @@ def main(argv=None):
             a = a + wgt[:, :, k : k + 1] * oh
         return a
 
-    def onehot_full(value, loc, attn):
-        idx, wgt = prep(loc, attn)
-        a = build_A(idx, wgt)
-        vh = jnp.transpose(value[0], (1, 0, 2))  # (M, HW, D)
-        out = jnp.einsum("mqs,msd->mqd", a, vh)  # MXU
-        return jnp.transpose(out, (1, 0, 2)).reshape(1, lq, m * d)
+    def make_onehot_full(precision):
+        def onehot_full(value, loc, attn):
+            idx, wgt = prep(loc, attn)
+            a = build_A(idx, wgt)
+            vh = jnp.transpose(value[0], (1, 0, 2))  # (M, HW, D)
+            out = jnp.einsum("mqs,msd->mqd", a, vh, precision=precision)  # MXU
+            return jnp.transpose(out, (1, 0, 2)).reshape(1, lq, m * d)
+
+        return onehot_full
+
+    onehot_full = make_onehot_full(None)
 
     def onehot_build_only(value, loc, attn):
         idx, wgt = prep(loc, attn)
@@ -101,6 +106,8 @@ def main(argv=None):
     ref = np.asarray(gather_path(value, loc, attn))
     got = np.asarray(onehot_full(value, loc, attn))
     err = float(np.abs(ref - got).max())
+    got_hi = np.asarray(make_onehot_full(jax.lax.Precision.HIGHEST)(value, loc, attn))
+    err_hi = float(np.abs(ref - got_hi).max())
 
     def timed(fn, label):
         @jax.jit
@@ -133,8 +140,15 @@ def main(argv=None):
         "shape": {"hw": args.hw, "Lq": lq, "M": m, "P": p, "D": d},
         "backend": jax.default_backend(),
         "max_abs_err_vs_gather": err,
+        "max_abs_err_vs_gather_highest": err_hi,
         "ms_onehot_build_only": timed(onehot_build_only, "build"),
         "ms_onehot_full": timed(onehot_full, "full"),
+        "ms_onehot_full_highest": timed(
+            make_onehot_full(jax.lax.Precision.HIGHEST), "full_hi"
+        ),
+        "ms_onehot_full_float32pref": timed(
+            make_onehot_full(jax.lax.Precision.DEFAULT), "full_f32"
+        ),
         "ms_gather": timed(gather_path, "gather"),
     }
     print(json.dumps(out))

@@ -112,3 +112,31 @@ def test_deform_core_grads_odd_channels(rng, d):
     gv, gl = jax.grad(f, argnums=(0, 1))(jnp.asarray(value), jnp.asarray(loc))
     np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-3)
+
+
+def test_onehot_matmul_matches_gather(rng):
+    """The one-hot-matmul lowering is numerically equivalent to the gather
+    path (both fp32; includes out-of-range sampling locations whose corners
+    must contribute zero)."""
+    import jax.numpy as jnp
+
+    from rba_tpu.ops.deform_sampling import ms_deform_attn_core
+
+    n, m, d, p = 2, 4, 8, 4
+    shapes = [(6, 9), (3, 5)]
+    s = sum(h * w for h, w in shapes)
+    lq = 11
+    value = jnp.asarray(rng.randn(n, s, m, d), np.float32)
+    # locations straddling the borders: in [-0.2, 1.2]
+    loc = jnp.asarray(rng.rand(n, lq, m, len(shapes), p, 2) * 1.4 - 0.2, np.float32)
+    aw = jax.nn.softmax(
+        jnp.asarray(rng.randn(n, lq, m, len(shapes) * p), np.float32), -1
+    ).reshape(n, lq, m, len(shapes), p)
+
+    ref = ms_deform_attn_core(value, shapes, loc, aw, method="gather")
+    got = ms_deform_attn_core(value, shapes, loc, aw, method="onehot")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # "auto" picks onehot at tiny shapes and stays numerically identical
+    auto = ms_deform_attn_core(value, shapes, loc, aw, method="auto")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), rtol=1e-5, atol=1e-5)
