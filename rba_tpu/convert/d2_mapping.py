@@ -443,6 +443,103 @@ def convert_pixel_decoder(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
     return p
 
 
+def convert_fpn_pixel_decoder(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
+    """``sem_seg_head.pixel_decoder.*`` of the FPN baselines →
+    fpn_pixel_decoder / transformer_encoder_pixel_decoder param trees
+    (reference pixel_decoder/fpn.py: adapter_k 1x1 laterals, layer_k 3x3
+    output convs numbered bottom-up from res2=1, GN, bias-free convs; the
+    top feature has no adapter; TransformerEncoderPixelDecoder adds
+    input_proj + a vanilla encoder on the top feature)."""
+    pre = "sem_seg_head.pixel_decoder"
+    n = len(cfg.pixel_decoder.in_features)
+    stages = []
+    for k in range(n, 0, -1):  # top-down order (matches fpn_pixel_decoder_init)
+        stage: Dict = {}
+        if k < n:
+            stage["lateral"] = {
+                "conv": {"kernel": _conv(sd[f"{pre}.adapter_{k}.weight"])},
+                "gn": _ln(sd, f"{pre}.adapter_{k}.norm"),
+            }
+        stage["output"] = {
+            "conv": {"kernel": _conv(sd[f"{pre}.layer_{k}.weight"])},
+            "gn": _ln(sd, f"{pre}.layer_{k}.norm"),
+        }
+        stages.append(stage)
+    p: Dict = {"stages": stages, "mask_features": _conv2d(sd, f"{pre}.mask_features")}
+    if f"{pre}.input_proj.weight" in sd:  # TransformerEncoderPixelDecoder
+        p["input_proj"] = _conv2d(sd, f"{pre}.input_proj")
+        enc = []
+        i = 0
+        while f"{pre}.transformer.encoder.layers.{i}.norm1.weight" in sd:
+            lp = f"{pre}.transformer.encoder.layers.{i}"
+            enc.append({
+                "attn": _mha(sd, lp + ".self_attn"),
+                "norm1": _ln(sd, lp + ".norm1"),
+                "linear1": _linear(sd, lp + ".linear1"),
+                "linear2": _linear(sd, lp + ".linear2"),
+                "norm2": _ln(sd, lp + ".norm2"),
+            })
+            i += 1
+        p["encoder"] = enc
+    return p
+
+
+def convert_standard_decoder(
+    sd: Dict[str, np.ndarray], cfg: RbAConfig, mask_classification: bool = True
+) -> Dict:
+    """``sem_seg_head.predictor.*`` of the v1 StandardTransformerDecoder →
+    standard_decoder param tree (reference maskformer_transformer_decoder.py
+    + DETR transformer.py names: transformer.encoder/decoder.layers.{i},
+    cross attention = ``multihead_attn``).  ``input_proj`` is identity when
+    in_channels == hidden_dim (nn.Sequential()) — synthesized as a 1x1 eye
+    conv since our apply always projects."""
+    pre = "sem_seg_head.predictor"
+    hd = cfg.decoder.hidden_dim
+    p: Dict = {
+        "query_embed": np.asarray(sd[f"{pre}.query_embed.weight"]),
+        "decoder_norm": _ln(sd, f"{pre}.transformer.decoder.norm"),
+        "mask_embed": {
+            "layers": [_linear(sd, f"{pre}.mask_embed.layers.{j}") for j in range(3)]
+        },
+    }
+    if f"{pre}.input_proj.weight" in sd:
+        p["input_proj"] = _conv2d(sd, f"{pre}.input_proj")
+    else:
+        p["input_proj"] = {
+            "kernel": np.eye(hd, dtype=np.float32).reshape(1, 1, hd, hd),
+            "bias": np.zeros((hd,), np.float32),
+        }
+    if mask_classification and f"{pre}.class_embed.weight" in sd:
+        p["class_embed"] = _linear(sd, f"{pre}.class_embed")
+    enc, i = [], 0
+    while f"{pre}.transformer.encoder.layers.{i}.norm1.weight" in sd:
+        lp = f"{pre}.transformer.encoder.layers.{i}"
+        enc.append({
+            "attn": _mha(sd, lp + ".self_attn"),
+            "norm1": _ln(sd, lp + ".norm1"),
+            "linear1": _linear(sd, lp + ".linear1"),
+            "linear2": _linear(sd, lp + ".linear2"),
+            "norm2": _ln(sd, lp + ".norm2"),
+        })
+        i += 1
+    dec, i = [], 0
+    while f"{pre}.transformer.decoder.layers.{i}.norm1.weight" in sd:
+        lp = f"{pre}.transformer.decoder.layers.{i}"
+        dec.append({
+            "self_attn": _mha(sd, lp + ".self_attn"),
+            "norm1": _ln(sd, lp + ".norm1"),
+            "cross_attn": _mha(sd, lp + ".multihead_attn"),
+            "norm2": _ln(sd, lp + ".norm2"),
+            "linear1": _linear(sd, lp + ".linear1"),
+            "linear2": _linear(sd, lp + ".linear2"),
+            "norm3": _ln(sd, lp + ".norm3"),
+        })
+        i += 1
+    p["enc_layers"] = enc
+    p["dec_layers"] = dec
+    return p
+
+
 def convert_predictor(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
     """``sem_seg_head.predictor.*`` → transformer decoder tree."""
     pre = "sem_seg_head.predictor"
@@ -530,12 +627,27 @@ def convert_backbone(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
 
 
 def convert_d2_state_dict(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict:
-    """Full D2 MaskFormer state dict → rba_tpu param tree."""
+    """Full D2 state dict → rba_tpu param tree, dispatched over
+    SEM_SEG_HEAD.NAME / PIXEL_DECODER_NAME / TRANSFORMER_DECODER_NAME like
+    the reference registries."""
     sd = apply_historical_renames(sd)
-    return {
-        "backbone": convert_backbone(sd, cfg),
-        "sem_seg_head": {
-            "pixel_decoder": convert_pixel_decoder(sd, cfg),
-            "predictor": convert_predictor(sd, cfg),
-        },
-    }
+    if cfg.pixel_decoder.name == "MSDeformAttnPixelDecoder":
+        pd = convert_pixel_decoder(sd, cfg)
+    else:
+        pd = convert_fpn_pixel_decoder(sd, cfg)
+
+    head_name = cfg.sem_seg_head_name
+    if head_name == "PerPixelBaselineHead":
+        head = {"pixel_decoder": pd, "predictor": _conv2d(sd, "sem_seg_head.predictor")}
+    elif head_name == "PerPixelBaselinePlusHead":
+        head = {
+            "pixel_decoder": pd,
+            "predictor": convert_standard_decoder(sd, cfg, mask_classification=False),
+        }
+    else:
+        if cfg.decoder.name == "StandardTransformerDecoder":
+            pred = convert_standard_decoder(sd, cfg)
+        else:
+            pred = convert_predictor(sd, cfg)
+        head = {"pixel_decoder": pd, "predictor": pred}
+    return {"backbone": convert_backbone(sd, cfg), "sem_seg_head": head}

@@ -40,6 +40,10 @@ def main(argv=None):
         help="fast serving mode: pixel_decoder_dtype=bfloat16 + fast_math=True",
     )
     ap.add_argument(
+        "--attn-layout", default=None, choices=["partition", "nested"],
+        help="window-attention lowering experiment (SwinConfig.attn_layout)",
+    )
+    ap.add_argument(
         "--train",
         action="store_true",
         help="measure the training step (fwd+matcher+losses+bwd+AdamW) instead "
@@ -58,6 +62,10 @@ def main(argv=None):
     if args.fast:
         cfg = dataclasses.replace(
             cfg, pixel_decoder_dtype="bfloat16", fast_math=True
+        )
+    if args.attn_layout:
+        cfg = dataclasses.replace(
+            cfg, swin=dataclasses.replace(cfg.swin, attn_layout=args.attn_layout)
         )
 
     h, w = (int(v) for v in args.hw.split("x"))

@@ -315,3 +315,151 @@ def test_build_pixel_decoder_dispatch():
         p = init(jax.random.PRNGKey(0), cfg.swin.out_channels)
         mf, enc, ms = apply(p, _feats(cfg), jnp.float32)
         assert mf.shape[-1] == cfg.pixel_decoder.mask_dim
+
+
+def _export_standard_decoder_d2(td, mask_classification):
+    """TorchStandardDecoder -> reference D2 names (maskformer v1 decoder +
+    DETR transformer: transformer.encoder/decoder.layers.{i}, cross attn =
+    multihead_attn)."""
+    sd = {}
+    pre = "sem_seg_head.predictor"
+
+    def put(name, t):
+        sd[name] = t.detach().numpy()
+
+    put(f"{pre}.query_embed.weight", td.query_embed.weight)
+    put(f"{pre}.input_proj.weight", td.input_proj.weight)
+    put(f"{pre}.input_proj.bias", td.input_proj.bias)
+    put(f"{pre}.transformer.decoder.norm.weight", td.decoder_norm.weight)
+    put(f"{pre}.transformer.decoder.norm.bias", td.decoder_norm.bias)
+    if mask_classification:
+        put(f"{pre}.class_embed.weight", td.class_embed.weight)
+        put(f"{pre}.class_embed.bias", td.class_embed.bias)
+    for j, m in enumerate(td.mask_mlp):
+        put(f"{pre}.mask_embed.layers.{j}.weight", m.weight)
+        put(f"{pre}.mask_embed.layers.{j}.bias", m.bias)
+    for i in range(len(td.enc_self)):
+        lp = f"{pre}.transformer.encoder.layers.{i}"
+        put(lp + ".self_attn.in_proj_weight", td.enc_self[i].in_proj_weight)
+        put(lp + ".self_attn.in_proj_bias", td.enc_self[i].in_proj_bias)
+        put(lp + ".self_attn.out_proj.weight", td.enc_self[i].out_proj.weight)
+        put(lp + ".self_attn.out_proj.bias", td.enc_self[i].out_proj.bias)
+        put(lp + ".linear1.weight", td.enc_l1[i].weight)
+        put(lp + ".linear1.bias", td.enc_l1[i].bias)
+        put(lp + ".linear2.weight", td.enc_l2[i].weight)
+        put(lp + ".linear2.bias", td.enc_l2[i].bias)
+        put(lp + ".norm1.weight", td.enc_n1[i].weight)
+        put(lp + ".norm1.bias", td.enc_n1[i].bias)
+        put(lp + ".norm2.weight", td.enc_n2[i].weight)
+        put(lp + ".norm2.bias", td.enc_n2[i].bias)
+    for i in range(len(td.dec_self)):
+        lp = f"{pre}.transformer.decoder.layers.{i}"
+        put(lp + ".self_attn.in_proj_weight", td.dec_self[i].in_proj_weight)
+        put(lp + ".self_attn.in_proj_bias", td.dec_self[i].in_proj_bias)
+        put(lp + ".self_attn.out_proj.weight", td.dec_self[i].out_proj.weight)
+        put(lp + ".self_attn.out_proj.bias", td.dec_self[i].out_proj.bias)
+        put(lp + ".multihead_attn.in_proj_weight", td.dec_cross[i].in_proj_weight)
+        put(lp + ".multihead_attn.in_proj_bias", td.dec_cross[i].in_proj_bias)
+        put(lp + ".multihead_attn.out_proj.weight", td.dec_cross[i].out_proj.weight)
+        put(lp + ".multihead_attn.out_proj.bias", td.dec_cross[i].out_proj.bias)
+        put(lp + ".linear1.weight", td.dec_l1[i].weight)
+        put(lp + ".linear1.bias", td.dec_l1[i].bias)
+        put(lp + ".linear2.weight", td.dec_l2[i].weight)
+        put(lp + ".linear2.bias", td.dec_l2[i].bias)
+        put(lp + ".norm1.weight", td.dec_n1[i].weight)
+        put(lp + ".norm1.bias", td.dec_n1[i].bias)
+        put(lp + ".norm2.weight", td.dec_n2[i].weight)
+        put(lp + ".norm2.bias", td.dec_n2[i].bias)
+        put(lp + ".norm3.weight", td.dec_n3[i].weight)
+        put(lp + ".norm3.bias", td.dec_n3[i].bias)
+    return sd
+
+
+def test_convert_standard_decoder_golden(rng):
+    """D2-named v1-decoder weights -> converter -> standard_decoder_apply
+    reproduces the torch forward (both class modes; deep supervision)."""
+    import jax.numpy as jnp
+
+    from rba_tpu.convert.d2_mapping import convert_standard_decoder
+    from tests.torch_refs import TorchStandardDecoder
+
+    in_ch, hd, nh, ff, nq, md, nc = 32, 32, 4, 64, 6, 32, 5
+    enc_l, dec_l = 1, 2
+    h, w = 8, 12
+    x = rng.randn(2, in_ch, h, w).astype(np.float32)
+    mask_features = rng.randn(2, md, 16, 24).astype(np.float32)
+
+    for mask_classification in (True, False):
+        td = TorchStandardDecoder(in_ch, hd, nh, ff, enc_l, dec_l, nq, md,
+                                  num_classes=nc if mask_classification else None)
+        with torch.no_grad():
+            td.query_embed.weight.normal_(0, 0.5)
+        masks_t, logits_t = td(torch.from_numpy(x), torch.from_numpy(mask_features))
+
+        base = tiny_test_config(num_classes=nc)
+        cfg = dataclasses.replace(
+            base,
+            decoder=dataclasses.replace(
+                base.decoder, hidden_dim=hd, num_queries=nq, nheads=nh,
+                dim_feedforward=ff, mask_dim=md,
+                enc_layers=enc_l, dec_layers_total=dec_l,
+            ),
+        )
+        sd = _export_standard_decoder_d2(td, mask_classification)
+        params = jax.tree.map(
+            jnp.asarray, convert_standard_decoder(sd, cfg, mask_classification)
+        )
+        out = standard_decoder_apply(
+            params, cfg,
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(mask_features.transpose(0, 2, 3, 1)),
+            deep_supervision=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred_masks"]), masks_t[-1].detach().numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+        if mask_classification:
+            np.testing.assert_allclose(
+                np.asarray(out["pred_logits"]), logits_t[-1].detach().numpy(),
+                rtol=1e-4, atol=1e-4,
+            )
+
+
+def test_convert_fpn_pixel_decoder_roundtrip():
+    """Our FPN params exported under the reference D2 names convert back to
+    an identical tree (mapping + transposes are involutive)."""
+    import jax.numpy as jnp
+
+    from rba_tpu.convert.d2_mapping import convert_fpn_pixel_decoder
+
+    cfg = _fpn_cfg()
+    params = fpn_pixel_decoder_init(
+        jax.random.PRNGKey(0), cfg.pixel_decoder, cfg.swin.out_channels
+    )
+    n = len(cfg.pixel_decoder.in_features)
+    sd = {}
+    pre = "sem_seg_head.pixel_decoder"
+    for i, stage in enumerate(params["stages"]):  # top-down; layer_n = top
+        k = n - i
+        if "lateral" in stage:
+            sd[f"{pre}.adapter_{k}.weight"] = np.asarray(
+                stage["lateral"]["conv"]["kernel"]).transpose(3, 2, 0, 1)
+            sd[f"{pre}.adapter_{k}.norm.weight"] = np.asarray(stage["lateral"]["gn"]["scale"])
+            sd[f"{pre}.adapter_{k}.norm.bias"] = np.asarray(stage["lateral"]["gn"]["bias"])
+        sd[f"{pre}.layer_{k}.weight"] = np.asarray(
+            stage["output"]["conv"]["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{pre}.layer_{k}.norm.weight"] = np.asarray(stage["output"]["gn"]["scale"])
+        sd[f"{pre}.layer_{k}.norm.bias"] = np.asarray(stage["output"]["gn"]["bias"])
+    sd[f"{pre}.mask_features.weight"] = np.asarray(
+        params["mask_features"]["kernel"]).transpose(3, 2, 0, 1)
+    sd[f"{pre}.mask_features.bias"] = np.asarray(params["mask_features"]["bias"])
+
+    back = convert_fpn_pixel_decoder(sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    for k, v in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_b[jax.tree_util.keystr(k)]),
+            rtol=0, atol=0, err_msg=jax.tree_util.keystr(k),
+        )

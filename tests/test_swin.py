@@ -148,3 +148,25 @@ def test_full_swin_smoke():
     assert set(outs) == {"res2", "res3"}
     assert outs["res2"].shape == (1, 16, 24, 32)
     assert outs["res3"].shape == (1, 8, 12, 64)
+
+
+def test_nested_attn_layout_matches_partition(rng):
+    """attn_layout="nested" (transpose-free window einsums) is numerically
+    the same model as the reference partition layout."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.models.swin import swin_apply, swin_init
+
+    cfg = tiny_test_config().swin
+    params = swin_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(2, 40, 56, 3), jnp.float32)  # non-divisible: pads
+    a = swin_apply(params, cfg, x, compute_dtype=jnp.float32)
+    b = swin_apply(params, dataclasses.replace(cfg, attn_layout="nested"), x,
+                   compute_dtype=jnp.float32)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-5, atol=1e-5)
