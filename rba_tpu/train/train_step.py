@@ -58,6 +58,17 @@ def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1):
 
     def loss_fn(params, batch, rng):
         images = preprocess(cfg, batch["images"])
+        if cfg.sem_seg_head_name != "MaskFormerHead":
+            # per-pixel baseline heads train on plain CE over sem_seg labels
+            # (reference meta_arch/per_pixel_baseline.py losses(), via the
+            # D2 SemanticSegmentor meta-arch) — no matching/criterion
+            from ..models.baseline_heads import per_pixel_losses
+            from ..models.maskformer import per_pixel_forward
+
+            logits, aux = per_pixel_forward(params, cfg, images)
+            losses = dict(per_pixel_losses(cfg, rng, logits, aux, batch["sem_seg"]))
+            losses["total"] = sum(losses.values())
+            return losses["total"], losses
         outputs = maskformer_forward(params, cfg, images)
         targets = {k: v for k, v in batch.items() if k != "images"}
         losses = criterion(cfg, rng, outputs, targets)
