@@ -45,6 +45,10 @@ class SwinConfig:
     # window partition (reference layout); "nested" = transpose-free einsum
     # on the (B, nHw, ws, nWw, ws, C) view (identical math; perf experiment)
     attn_layout: str = "partition"
+    # MLP lowering: "xla" = unfused linear/gelu chain; "fused" = Pallas
+    # token-tiled kernel (ops/pallas/fused_mlp.py) that keeps the 4C hidden
+    # tensor in VMEM, where the shape supports it (TPU only, C <= 512)
+    mlp_impl: str = "xla"
 
     @property
     def num_layers(self) -> int:

@@ -347,6 +347,7 @@ def swin_block_apply(
     deterministic: bool = True,
     fast_math: bool = False,
     attn_layout: str = "partition",
+    mlp_impl: str = "xla",
 ) -> jax.Array:
     b, h, w, c = x.shape
     shortcut = x
@@ -389,6 +390,16 @@ def swin_block_apply(
 
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     x = shortcut + _drop_path(x, drop_path_rate, rngs[0], deterministic)
+
+    # inference-only: the Pallas kernel has no VJP rule, and training needs
+    # the drop-path branch anyway
+    if mlp_impl == "fused" and deterministic and jax.default_backend() == "tpu":
+        from ..ops.pallas.fused_mlp import fused_mlp_residual, supports
+
+        if supports(b * h * w, c):
+            return fused_mlp_residual(
+                x, params["norm2"], params["mlp"]["fc1"], params["mlp"]["fc2"]
+            )
 
     y = layer_norm(params["norm2"], x)
     y = linear(params["mlp"]["fc2"], jax.nn.gelu(linear(params["mlp"]["fc1"], y), approximate=False))
@@ -483,6 +494,7 @@ def swin_apply(
                     deterministic=deterministic,
                     fast_math=fast_math,
                     attn_layout=cfg.attn_layout,
+                    mlp_impl=cfg.mlp_impl,
                 )
                 if cfg.use_checkpoint:
                     # remat per block (MODEL.SWIN.USE_CHECKPOINT →

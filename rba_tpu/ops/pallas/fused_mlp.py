@@ -1,0 +1,127 @@
+"""Fused transformer-MLP block kernel (Pallas/TPU).
+
+The Swin block tail ``x + fc2(gelu(fc1(LN(x))))`` (reference swin.py:293-295,
+mlp at :174-208) is HBM-bound at the early stages: at Swin-B 1024x2048 the
+stage-0 hidden tensor is (131072, 512) — 134 MB bf16 — which the unfused XLA
+chain writes and re-reads per block, putting the measured chain at ~2x the
+bandwidth roofline (~1.1 ms/block, CLAUDE.md perf log).  This kernel streams
+token tiles through VMEM and never materializes the 4C hidden in HBM: per
+tile it does LN (fp32 moments), the (tile, C) @ (C, 4C) fc1 matmul, exact
+gelu, the (tile, 4C) @ (4C, C) fc2 matmul, and the residual add, so HBM
+traffic drops from ~5 reads + 5 writes of token-sized tensors to exactly one
+read of x and one write of the output.
+
+Dtype placement matches the XLA path bit-for-bit modulo MXU accumulation
+order: LN math in fp32 rounded to the compute dtype, matmuls accumulate fp32
+(preferred_element_type) and round to compute dtype BEFORE the bias add
+(jnp.dot emits compute-dtype outputs in ops/nn.linear), gelu exact
+(erf-based, approximate=False) in compute dtype.
+
+Blocking: the grid walks token tiles of ``block_tokens`` rows (the only
+grid axis — weights use a constant index_map so Mosaic keeps them
+VMEM-resident across steps); inside a step an unrolled loop processes
+``sub_tokens``-row slabs so the fp32 (sub, 4C) gelu temporaries stay inside
+the ~16 MB scoped-VMEM budget (CLAUDE.md).  Per-step work is tens of
+microseconds (vs the ~30 us Mosaic grid-step overhead), i.e. the
+"ms-scale-ish per step" shape that wins on this tunnel, unlike the
+window-granular attention kernels that lost.
+
+Weights for dims where they no longer fit VMEM (Swin stage 3: C=1024 means
+16.8 MB of bf16 weights alone) are rejected by ``supports``; the XLA path
+stays the default there (its stage-3 linears already run at 150-175 TF/s).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_blocking(t: int, c: int):
+    """(block_tokens, sub_tokens) keeping in/out blocks + fp32 hidden slab
+    within the scoped-VMEM budget; None if the shape is unsupported."""
+    if c % 128 or c > 512:
+        return None
+    # budget per step: 2*(TB*C*2B) double-buffered io + SB*4C*4B hidden
+    if c <= 128:
+        tb, sb = 16384, 2048
+    elif c <= 256:
+        tb, sb = 4096, 1024
+    else:  # 512
+        tb, sb = 2048, 512
+    while tb > t and tb > 8:
+        tb //= 2
+    sb = min(sb, tb)
+    if t % tb or tb % sb:
+        return None
+    return tb, sb
+
+
+def _kernel(x_ref, g_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, sub: int):
+    nsub = x_ref.shape[0] // sub
+    gamma = g_ref[:].astype(jnp.float32)  # (1, C)
+    beta = bet_ref[:].astype(jnp.float32)
+    for s in range(nsub):
+        xs = x_ref[s * sub : (s + 1) * sub, :]  # (SB, C) compute dtype
+        x32 = xs.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        mean_sq = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        var = jnp.maximum(mean_sq - mean * mean, 0.0)
+        y32 = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = (y32 * gamma + beta).astype(xs.dtype)
+        h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+        h = h.astype(xs.dtype) + b1_ref[:]
+        h = jax.nn.gelu(h, approximate=False)
+        o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+        o = o.astype(xs.dtype) + b2_ref[:]
+        o_ref[s * sub : (s + 1) * sub, :] = xs + o
+
+
+def supports(t: int, c: int) -> bool:
+    return _pick_blocking(t, c) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_mlp_flat(x, gamma, beta, w1, b1, w2, b2, interpret=False):
+    t, c = x.shape
+    hid = w1.shape[1]
+    tb, sb = _pick_blocking(t, c)
+    dt = x.dtype
+    row = lambda a, n: a.astype(dt).reshape(1, n)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    tok = pl.BlockSpec((tb, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, sub=sb),
+        out_shape=jax.ShapeDtypeStruct((t, c), dt),
+        grid=(t // tb,),
+        in_specs=[tok, const((1, c)), const((1, c)), const((c, hid)),
+                  const((1, hid)), const((hid, c)), const((1, c))],
+        out_specs=tok,
+        interpret=interpret,
+    )(x, row(gamma, c), row(beta, c), w1.astype(dt), row(b1, hid),
+      w2.astype(dt), row(b2, c))
+
+
+def fused_mlp_residual(
+    x: jax.Array,  # (..., C) compute-dtype activations
+    ln_params,  # {"scale": (C,), "bias": (C,)}
+    fc1,  # {"kernel": (C, 4C), "bias": (4C,)}
+    fc2,  # {"kernel": (4C, C), "bias": (C,)}
+    interpret: bool = False,
+) -> jax.Array:
+    """x + fc2(gelu(fc1(layer_norm(x)))) with the hidden tensor never
+    leaving VMEM.  Caller must check ``supports(prod(leading), C)``."""
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    t = 1
+    for d in lead:
+        t *= d
+    out = _fused_mlp_flat(
+        x.reshape(t, c), ln_params["scale"], ln_params["bias"],
+        fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"],
+        interpret=interpret,
+    )
+    return out.reshape(*lead, c)
