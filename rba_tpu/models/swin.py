@@ -394,9 +394,9 @@ def swin_block_apply(
     # inference-only: the Pallas kernel has no VJP rule, and training needs
     # the drop-path branch anyway
     if mlp_impl == "fused" and deterministic and jax.default_backend() == "tpu":
-        from ..ops.pallas.fused_mlp import fused_mlp_residual, supports
+        from ..ops.pallas.fused_mlp import beneficial, fused_mlp_residual
 
-        if supports(b * h * w, c):
+        if beneficial(b * h * w, c):
             return fused_mlp_residual(
                 x, params["norm2"], params["mlp"]["fc1"], params["mlp"]["fc2"]
             )

@@ -42,22 +42,71 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_blocking(t: int, c: int):
     """(block_tokens, sub_tokens) keeping in/out blocks + fp32 hidden slab
-    within the scoped-VMEM budget; None if the shape is unsupported."""
+    within the scoped-VMEM budget; None if the shape is unsupported.
+
+    t need not divide the block: the grid is ceil(t / tb) and Pallas masks
+    the partial last block's stores — every output row depends only on its
+    own input row (row-wise LN + matmuls), so the garbage rows OOB loads
+    produce never contaminate valid rows."""
     if c % 128 or c > 512:
         return None
     # budget per step: 2*(TB*C*2B) double-buffered io + SB*4C*4B hidden
+    # (TB=16384 at C=128 measured 16.04M > the 16M scoped-vmem limit)
     if c <= 128:
-        tb, sb = 16384, 2048
+        tb, sb = 8192, 2048
     elif c <= 256:
         tb, sb = 4096, 1024
     else:  # 512
         tb, sb = 2048, 512
-    while tb > t and tb > 8:
+    while tb >= 2 * t and tb > 8:
         tb //= 2
     sb = min(sb, tb)
-    if t % tb or tb % sb:
-        return None
     return tb, sb
+
+
+# erf(u)/u = P_A(u^2) on u in [0,1)  (Chebyshev refit, max rel err 1.3e-10)
+_ERF_PA = (
+    -9.80925651774188e-06, 0.00011313114528407093, -0.0008490195297251833,
+    0.005221422912479452, -0.026865558324372117, 0.11283784462386079,
+    -0.3761263858069, 1.128379167071956,
+)
+# erfc(u)*exp(u^2)*u = Q_B(1/u^2) on u in [1, 9.5]  (max rel err 3.8e-6)
+_ERF_QB = (
+    0.5064512085832366, -2.7460800676956847, 6.516093632845019,
+    -8.94738094961009, 7.966414180509666, -4.946874283223197,
+    2.3210483764535317, -0.9415825894893013, 0.41725758740173013,
+    -0.2819502977567945, 0.5641883923281208,
+)
+
+
+def _horner(coefs, t):
+    acc = jnp.float32(coefs[0])
+    for c in coefs[1:]:
+        acc = acc * t + jnp.float32(c)
+    return acc
+
+
+def _gelu_exact(x):
+    """Exact (erf-grade) gelu.  Neither erf nor erfc exists in this Mosaic
+    lowering (jax.nn.gelu(approximate=False) -> erfc: NotImplementedError),
+    so erf is evaluated from fitted polynomials with exp — the only
+    transcendental the kernel needs.  Relative error vs true gelu < 4e-6
+    everywhere (validated against scipy.special in tests/test_fused_mlp.py),
+    i.e. ~500x below bf16 resolution; the negative tail uses the erfc form
+    directly so there is no 1-(1-e) cancellation.  The tanh approximation
+    was rejected: 17% relative error at x = -3."""
+    x32 = x.astype(jnp.float32)
+    t = 0.5 * x32 * x32  # = s^2, s = x/sqrt(2)
+    s = jnp.float32(0.7071067811865476) * x32
+    u = jnp.abs(s)
+    # u < 1: gelu = 0.5 x (1 + s*P_A(s^2))
+    small = 0.5 * x32 * (1.0 + s * _horner(_ERF_PA, t))
+    # u >= 1: e = erfc(u) = exp(-u^2) * Q_B(1/u^2) / u
+    tc = jnp.maximum(t, 1e-6)  # guarded: branch only taken at t >= 0.5
+    e = jnp.exp(-tc) * _horner(_ERF_QB, 1.0 / tc) / jnp.sqrt(tc)
+    large = jnp.where(s >= 0, x32 - 0.5 * x32 * e, 0.5 * x32 * e)
+    y = jnp.where(u < 1.0, small, large)
+    return y.astype(x.dtype)
 
 
 def _kernel(x_ref, g_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, sub: int):
@@ -74,14 +123,24 @@ def _kernel(x_ref, g_ref, bet_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, sub
         y = (y32 * gamma + beta).astype(xs.dtype)
         h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
         h = h.astype(xs.dtype) + b1_ref[:]
-        h = jax.nn.gelu(h, approximate=False)
+        h = _gelu_exact(h)
         o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
         o = o.astype(xs.dtype) + b2_ref[:]
         o_ref[s * sub : (s + 1) * sub, :] = xs + o
 
 
 def supports(t: int, c: int) -> bool:
+    """Capacity: the kernel can run this shape."""
     return _pick_blocking(t, c) is not None
+
+
+def beneficial(t: int, c: int) -> bool:
+    """Policy: the kernel is faster than the XLA chain here.  C = 512 is
+    supported but measured SLOWER (0.39 vs 0.25 ms at the Swin-B stage-2
+    shape on v5e) — that regime is MXU-bound and XLA's epilogue fusion wins;
+    the kernel's edge is the HBM-bound C <= 256 stages (stage 0: 1.11 vs
+    1.23 ms, stage 1: 0.69 vs 0.89 ms standalone)."""
+    return c <= 256 and supports(t, c)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -96,7 +155,7 @@ def _fused_mlp_flat(x, gamma, beta, w1, b1, w2, b2, interpret=False):
     return pl.pallas_call(
         functools.partial(_kernel, sub=sb),
         out_shape=jax.ShapeDtypeStruct((t, c), dt),
-        grid=(t // tb,),
+        grid=((t + tb - 1) // tb,),
         in_specs=[tok, const((1, c)), const((1, c)), const((c, hid)),
                   const((1, hid)), const((hid, c)), const((1, c))],
         out_specs=tok,

@@ -44,6 +44,10 @@ def main(argv=None):
         help="window-attention lowering experiment (SwinConfig.attn_layout)",
     )
     ap.add_argument(
+        "--mlp-impl", default=None, choices=["xla", "fused"],
+        help="MLP lowering (SwinConfig.mlp_impl; 'fused' = Pallas VMEM kernel)",
+    )
+    ap.add_argument(
         "--train",
         action="store_true",
         help="measure the training step (fwd+matcher+losses+bwd+AdamW) instead "
@@ -66,6 +70,10 @@ def main(argv=None):
     if args.attn_layout:
         cfg = dataclasses.replace(
             cfg, swin=dataclasses.replace(cfg.swin, attn_layout=args.attn_layout)
+        )
+    if args.mlp_impl:
+        cfg = dataclasses.replace(
+            cfg, swin=dataclasses.replace(cfg.swin, mlp_impl=args.mlp_impl)
         )
 
     h, w = (int(v) for v in args.hw.split("x"))
