@@ -622,6 +622,24 @@ def load_config(path: str, **overrides) -> RbAConfig:
     return cfg
 
 
+def fast_serving(cfg: RbAConfig) -> RbAConfig:
+    """The promoted fast serving mode: bf16 pixel decoder + bf16 window-
+    attention softmax (norms, sampling, and the score path stay fp32).
+
+    Default for the serving entry points (bench.py, evalx.sweep, devtime
+    --fast) per the checkpoint-weight numerics ablation (ABLATION.json,
+    ``python -m rba_tpu.tools.ablation``): vs the parity mode it moves
+    AUROC by ≤0.003 pts and AUPRC/FPR95 by ≤0.001 pts on a 16-image
+    synthetic anomaly set scored with full-scale converted swin_b_1dl
+    weights — two orders of magnitude inside the 0.1-pt budget.  The
+    dataclass default stays parity (fp32 pixel decoder) because that is
+    the reference's own semantics (msdeformattn.py:323-329 pins fp32
+    under AMP) and what the golden tests certify."""
+    return dataclasses.replace(
+        cfg, pixel_decoder_dtype="bfloat16", fast_math=True
+    )
+
+
 # Convenience presets matching the released checkpoints.
 def swin_b_1dl() -> RbAConfig:
     return RbAConfig()

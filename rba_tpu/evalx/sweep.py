@@ -57,6 +57,12 @@ def parse_args(argv=None):
                    help="tiled inference for very high-res inputs (Mapillary)")
     p.add_argument("--exact", action="store_true",
                    help="all-pixel sklearn-equivalent metrics instead of streaming histograms")
+    p.add_argument("--precision", default="fast", choices=["fast", "parity", "fp32"],
+                   help="model numerics: 'fast' (default; bf16 pixel decoder + bf16 "
+                        "attention softmax — promoted per the ABLATION.json numerics "
+                        "ablation, <=0.003 AUROC pts from parity), 'parity' (fp32-pinned "
+                        "pixel decoder, the reference's AMP semantics), 'fp32' (everything "
+                        "fp32)")
     p.add_argument("--shard", default=None, help="i/n work-list sharding for multi-host sweeps")
     return p.parse_args(argv)
 
@@ -76,12 +82,18 @@ def save_results(out_path: str, model_name: str, results: dict, verbose: bool):
         json.dump(results, f, indent=2)
 
 
-def load_model(model_dir: str):
+def load_model(model_dir: str, precision: str = "fast"):
     """config.yaml + model weights (native .npz or converted D2 .pth)."""
-    from ..config import load_d2_config
+    import dataclasses
+
+    from ..config import fast_serving, load_d2_config
     from ..convert.checkpoint import load_checkpoint_params
 
     cfg = load_d2_config(os.path.join(model_dir, "config.yaml"))
+    if precision == "fast":
+        cfg = fast_serving(cfg)
+    elif precision == "fp32":
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
     params = load_checkpoint_params(model_dir, cfg)
     return cfg, params
 
@@ -168,7 +180,7 @@ def main(argv=None):
             continue
         if model_dir not in loaded:
             print(f"loading {model_name} ...")
-            cfg, params = load_model(model_dir)
+            cfg, params = load_model(model_dir, precision=args.precision)
             loaded.clear()  # keep one model in memory
             loaded[model_dir] = OODEvaluator(
                 cfg, params, score=args.score_func, use_gaussian_smoothing=args.smoothing

@@ -59,14 +59,12 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from rba_tpu.config import load_d2_config
+    from rba_tpu.config import fast_serving, load_d2_config
     from rba_tpu.models.maskformer import maskformer_infer_rba, maskformer_init
 
     cfg = load_d2_config(args.config)
     if args.fast:
-        cfg = dataclasses.replace(
-            cfg, pixel_decoder_dtype="bfloat16", fast_math=True
-        )
+        cfg = fast_serving(cfg)
     if args.attn_layout:
         cfg = dataclasses.replace(
             cfg, swin=dataclasses.replace(cfg.swin, attn_layout=args.attn_layout)

@@ -92,7 +92,7 @@ def test_sweep_cli_on_synthetic(tmp_path, monkeypatch):
     save_params(str(model_dir / "params.npz"), params)
 
     monkeypatch.setattr(
-        sweep, "load_model", lambda d: (cfg, params)
+        sweep, "load_model", lambda d, precision="fast": (cfg, params)
     )
     import rba_tpu.data.ood_datasets as od
 
