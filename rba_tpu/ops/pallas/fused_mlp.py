@@ -29,6 +29,17 @@ window-granular attention kernels that lost.
 Weights for dims where they no longer fit VMEM (Swin stage 3: C=1024 means
 16.8 MB of bf16 weights alone) are rejected by ``supports``; the XLA path
 stays the default there (its stage-3 linears already run at 150-175 TF/s).
+
+MEASURED NEGATIVE IN-MODEL (v5e, Swin-B 1024x2048, parity mode): standalone
+the kernel beats the isolated XLA chain at the C<=256 stages (stage 0: 1.11
+vs 1.23 ms, stage 1: 0.69 vs 0.89 ms — tools/perf_fused_mlp.py), but the
+full model runs 44.36 ms with ``mlp_impl="fused"`` vs 43.6 ms stock
+(`devtime --mlp-impl fused`).  The in-model XLA MLP already runs at the
+kernel's standalone speed because XLA fuses the LN moments and residual
+into the neighboring matmul epilogues ("MLP matmul+epilogue fusions" in the
+trace, CLAUDE.md); excising the chain into a pallas_call forfeits those
+boundary fusions and adds entry/exit relayouts, a net ~+0.2 ms/block.
+Kept opt-in via ``SwinConfig.mlp_impl="fused"`` (default "xla").
 """
 from __future__ import annotations
 
