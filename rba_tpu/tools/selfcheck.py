@@ -221,9 +221,10 @@ def run_selfcheck(workdir: str, tiny: bool, n_images: int, hw, tol: float) -> di
     swin, pd, dec = build_torch_model(arch)
     export_checkpoint(swin, pd, dec, arch, model_dir)
 
-    # production load path: config.yaml ingestion + .pth conversion
-    cfg, params = load_model(model_dir)
-    cfg = dataclasses.replace(cfg, compute_dtype="float32")  # CPU parity mode
+    # production load path: config.yaml ingestion + .pth conversion.
+    # precision="fp32" (not the serving default "fast"): the selfcheck's
+    # whole point is ±tol score parity against the torch reference
+    cfg, params = load_model(model_dir, precision="fp32")
 
     ds = SyntheticAnomaly(n=n_images, hw=tuple(hw))
     images = [ds[i].image for i in range(len(ds))]
