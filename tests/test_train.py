@@ -23,13 +23,18 @@ def test_lsap_exact_vs_scipy(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
-def test_point_sample_matches_torch(rng):
+@pytest.mark.parametrize("q,hw", [(1, (9, 13)), (1, (270, 310)), (5, (9, 13)), (100, (9, 13))])
+def test_point_sample_matches_torch(rng, q, hw):
+    # (q, hw) parametrizes all four lowerings: q=1 small grid = separable
+    # 2-hot matmul, q=1 large grid = lane-batched patch gather, q=5 =
+    # per-corner take_along_axis, q=100 = lane-payload patch gather
     import torch.nn.functional as F
 
     from rba_tpu.ops.point_sample import point_sample
 
-    masks = rng.randn(2, 5, 9, 13).astype(np.float32)
-    coords = rng.rand(2, 40, 2).astype(np.float32)
+    masks = rng.randn(2, q, *hw).astype(np.float32)
+    # include out-of-range coords so the border zeroing is exercised
+    coords = (rng.rand(2, 40, 2) * 1.3 - 0.15).astype(np.float32)
     # torch point_sample: grid_sample(align_corners=False) at coords*2-1
     grid = torch.from_numpy(coords * 2 - 1).unsqueeze(1)  # (B, 1, P, 2)
     want = F.grid_sample(
@@ -38,6 +43,16 @@ def test_point_sample_matches_torch(rng):
     ).squeeze(2).numpy()  # (B, Q, P)
     got = np.asarray(point_sample(jnp.asarray(masks), jnp.asarray(coords)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # grads wrt masks flow through the gather lowerings identically
+    tm = torch.from_numpy(masks).requires_grad_(True)
+    F.grid_sample(
+        tm, grid, mode="bilinear", align_corners=False, padding_mode="zeros"
+    ).sum().backward()
+    g = jax.grad(lambda m: point_sample(m, jnp.asarray(coords)).sum())(
+        jnp.asarray(masks)
+    )
+    np.testing.assert_allclose(np.asarray(g), tm.grad.numpy(), rtol=1e-4, atol=1e-5)
 
 
 def test_matcher_agrees_with_reference_costs(rng):
