@@ -53,6 +53,11 @@ def main(argv=None):
         help="measure the training step (fwd+matcher+losses+bwd+AdamW) instead "
         "of inference; --hw is the crop size, --batch the global batch",
     )
+    ap.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="micro-batch accumulation factor for --train (lax.scan "
+        "accumulation, train_step.py); --batch must divide by it",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -84,7 +89,7 @@ def main(argv=None):
 
         mesh = make_mesh()
         state = make_train_state(jax.random.PRNGKey(0), cfg, mesh)
-        step = make_train_step(cfg, mesh)
+        step = make_train_step(cfg, mesh, grad_accum=args.grad_accum)
         b, t = args.batch, 16
         rng = np.random.RandomState(0)
         batch = shard_batch(mesh, {
@@ -108,6 +113,7 @@ def main(argv=None):
         print(json.dumps({
             "mode": "train",
             "batch": args.batch,
+            "grad_accum": args.grad_accum,
             "hw": args.hw,
             "sec_per_step": round(sec, 3),
             "steps_per_sec": round(1.0 / sec, 2),
