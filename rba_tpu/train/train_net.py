@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--log-period", type=int, default=20)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workers", type=int, default=4,
+                   help="mapper threads feeding the prefetch queue (the "
+                        "reference's DATALOADER.NUM_WORKERS analogue)")
     p.add_argument("--mapper", default=None,
                    choices=[None, "mask_former_semantic", "mask_former_semantic_coco_mix",
                             "mask_former_semantic_void",
@@ -89,34 +92,58 @@ def build_mapper(cfg, args):
     return SemanticDatasetMapper(mcfg, seed=args.seed)
 
 
+def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 4):
+    """Infinite shuffled batch iterator with ``workers`` mapper threads.
+
+    Replaces the reference's 10-worker D2 dataloader (train_net.py:254-260
+    via build_detection_train_loader).  A coordinator thread feeds seeded
+    per-epoch permutations batch-by-batch to an index queue; worker threads
+    decode + map + collate and push finished batches (PIL decode and the
+    numpy augmentations release the GIL, so threads scale).  One worker was
+    enough at the round-2 step time (0.5 s); at 0.105 s/step the host must
+    sustain ~10 img/s, beyond a single ~100 ms/image mapper thread.
+    Batches may complete out of order across workers; the within-epoch
+    sample set is still exactly one seeded permutation."""
+    idx_q: queue.Queue = queue.Queue(maxsize=2 * max(workers, 1))
+    out_q: queue.Queue = queue.Queue(maxsize=4)
+
+    def coordinator():
+        rng = np.random.RandomState(seed)
+        while True:
+            idx = rng.permutation(len(ds))
+            for start in range(0, len(idx) - batch_size + 1, batch_size):
+                idx_q.put(idx[start : start + batch_size])
+
+    def worker():
+        from ..data.mappers import collate
+
+        while True:
+            ib = idx_q.get()
+            samples = []
+            for i in ib:
+                s = ds[int(i)]
+                samples.append(mapper(s.image, s.label))
+            out_q.put(collate(samples))
+
+    threading.Thread(target=coordinator, daemon=True).start()
+    for _ in range(max(workers, 1)):
+        threading.Thread(target=worker, daemon=True).start()
+    while True:
+        yield out_q.get()
+
+
 def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:
-    """Infinite shuffled iterator over Cityscapes train with a prefetch
-    thread (the reference uses 10 D2 dataloader workers; one producer thread
-    saturates the TPU here since augmentation is cheap relative to steps)."""
-    from ..data.mappers import collate
+    """Infinite shuffled iterator over Cityscapes train (see
+    ``prefetching_iterator``)."""
     from ..data.ood_datasets import CityscapesSemSeg
 
     ds = CityscapesSemSeg(args.data_root, split="train")
     if len(ds) == 0:
         raise FileNotFoundError(f"no cityscapes train data under {args.data_root}")
     mapper = build_mapper(cfg, args)
-
-    q: queue.Queue = queue.Queue(maxsize=4)
-
-    def producer():
-        rng = np.random.RandomState(args.seed)
-        while True:
-            idx = rng.permutation(len(ds))
-            for start in range(0, len(idx) - batch_size + 1, batch_size):
-                samples = []
-                for i in idx[start : start + batch_size]:
-                    s = ds[int(i)]
-                    samples.append(mapper(s.image, s.label))
-                q.put(collate(samples))
-
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        yield q.get()
+    return prefetching_iterator(
+        ds, mapper, batch_size, args.seed, workers=getattr(args, "workers", 4)
+    )
 
 
 def main(argv=None):
