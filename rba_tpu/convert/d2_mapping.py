@@ -481,6 +481,9 @@ def convert_fpn_pixel_decoder(sd: Dict[str, np.ndarray], cfg: RbAConfig) -> Dict
             })
             i += 1
         p["encoder"] = enc
+        if f"{pre}.transformer.encoder.norm.weight" in sd:
+            # pre-norm encoders end in a final LayerNorm (fpn.py:177)
+            p["encoder_norm"] = _ln(sd, f"{pre}.transformer.encoder.norm")
     return p
 
 
@@ -537,6 +540,9 @@ def convert_standard_decoder(
         i += 1
     p["enc_layers"] = enc
     p["dec_layers"] = dec
+    if f"{pre}.transformer.encoder.norm.weight" in sd:
+        # pre-norm encoders end in a final LayerNorm (transformer.py:37)
+        p["encoder_norm"] = _ln(sd, f"{pre}.transformer.encoder.norm")
     return p
 
 

@@ -113,6 +113,11 @@ def transformer_encoder_pixel_decoder_init(key, cfg: RbAConfig, in_channels: Dic
         transformer_encoder_layer_init(ekeys[i], pcfg.conv_dim, cfg.decoder.dim_feedforward)
         for i in range(pcfg.transformer_enc_layers)
     ]
+    if cfg.decoder.pre_norm:
+        # DETR pre-norm stacks end in a final LayerNorm (reference
+        # fpn.py:177 `encoder_norm = nn.LayerNorm(d_model) if
+        # normalize_before else None`)
+        params["encoder_norm"] = init_layer_norm(pcfg.conv_dim)
     return params
 
 
@@ -139,6 +144,8 @@ def transformer_encoder_pixel_decoder_apply(
                 src = transformer_encoder_layer_apply(
                     layer, src, posf, cfg.decoder.nheads, pre_norm=cfg.decoder.pre_norm
                 )
+            if "encoder_norm" in params:
+                src = layer_norm(params["encoder_norm"], src)
             enc_feat = src.reshape(b, h, w, c)
             y = enc_feat
         y = jax.nn.relu(group_norm(stage["output"]["gn"], conv2d(stage["output"]["conv"], y, padding=1), 32))
@@ -272,6 +279,10 @@ def standard_decoder_init(key, cfg: RbAConfig, in_channels: int,
         "decoder_norm": init_layer_norm(d.hidden_dim),
         "mask_embed": init_mlp(keys[-1], d.hidden_dim, d.hidden_dim, d.mask_dim, 3),
     }
+    if d.pre_norm:
+        # reference transformer.py:37: pre-norm encoders get a final
+        # LayerNorm (applied even when enc_layers == 0)
+        params["encoder_norm"] = init_layer_norm(d.hidden_dim)
     if mask_classification:
         params["class_embed"] = init_linear(keys[-2], d.hidden_dim, cfg.num_classes + 1)
     return params
@@ -294,6 +305,8 @@ def standard_decoder_apply(params, cfg: RbAConfig, x: jax.Array, mask_features: 
     src = conv2d(params["input_proj"], x.astype(jnp.float32)).reshape(b, h * w, d.hidden_dim)
     for layer in params["enc_layers"]:
         src = transformer_encoder_layer_apply(layer, src, pos, d.nheads, pre_norm=d.pre_norm)
+    if "encoder_norm" in params:
+        src = layer_norm(params["encoder_norm"], src)
 
     query_pos = jnp.broadcast_to(params["query_embed"][None], (b,) + params["query_embed"].shape)
     tgt = jnp.zeros_like(query_pos)
@@ -428,7 +441,6 @@ def per_pixel_loss(
 ) -> jax.Array:
     """Cross-entropy with ignore label; point-rend sampled when
     cfg.loss.use_point_rend (reference losses(), :160-201)."""
-    ignore = cfg.sem_seg_head_ignore_value
     logits = logits.astype(jnp.float32)
     if cfg.loss.use_point_rend:
         from ..ops.point_sample import point_sample
@@ -453,14 +465,20 @@ def per_pixel_loss(
         )
         logp = jax.nn.log_softmax(point_logits, axis=1)
         picked = jnp.take_along_axis(logp, point_labels[:, None, :] % logits.shape[1], axis=1)[:, 0]
-        keep = (point_labels != ignore).astype(jnp.float32)
+        # any label >= K is dropped, not just `ignore` (255): e.g. the
+        # coco-mix mappers write ood_label=254, which the reference
+        # F.cross_entropy(ignore_index=255) would loudly reject as an
+        # out-of-range target — silently folding it mod K would train
+        # toward an arbitrary inlier class
+        keep = (point_labels < logits.shape[1]).astype(jnp.float32)
         return -(picked * keep).sum() / jnp.maximum(keep.sum(), 1.0)
     # dense path: x4 bilinear upsample then CE ignoring 255 (:190-199)
     full = resize_bilinear(logits, targets.shape[-2:], align_corners=False)
     logp = jax.nn.log_softmax(full, axis=1)
-    safe = jnp.where(targets == ignore, 0, targets)
+    # see point path: labels >= K (ignore=255, ood_label=254, …) are dropped
+    keep = (targets < full.shape[1]).astype(jnp.float32)
+    safe = jnp.where(targets < full.shape[1], targets, 0)
     picked = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
-    keep = (targets != ignore).astype(jnp.float32)
     return -(picked * keep).sum() / jnp.maximum(keep.sum(), 1.0)
 
 

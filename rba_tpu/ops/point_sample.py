@@ -13,7 +13,7 @@ per-mask sampling is the worst shape for them: (N, P) distinct indices with
 a scalar payload each — measured 27.7 ms for ONE oversampled sampling op at
 the Swin-B train shapes (16 masks x 37632 points, 128x256 grid), which
 multiplied by 10 deep-supervision layers made the criterion ~80% of the
-0.5 s/step training cost.  Three lowerings are used, picked per shape:
+0.5 s/step training cost.  Four lowerings are used, picked per shape:
 
 * shared-coords, many channels (matcher out_points, Q = 100): 2x2
   patch-gather from ops/deform_sampling — one lax.gather index fetches all
@@ -23,8 +23,12 @@ multiplied by 10 deep-supervision layers made the criterion ~80% of the
   matmul — bilinear sampling as two exact contractions on the MXU, zero
   gather indices (the same rewrite that won for deformable attention,
   ops/deform_sampling._onehot_matmul_level).
-* everything else (per-mask full-res gt, matcher tgt): per-corner
-  take_along_axis on the (B, Q, H*W) flatten, which keeps H*W in lanes.
+* per-mask coords, large grid (criterion's full-res gt, Q = 1, B <= 128):
+  lane-batched patch gather — one hoisted (H, W, B) transpose shared across
+  deep-supervision layers, one (2, 2, B)-slice gather index per point, then
+  a one-hot channel select over the small B axis (_point_sample_lanes).
+* everything else (matcher tgt, odd shapes): per-corner take_along_axis on
+  the (B, Q, H*W) flatten, which keeps H*W in lanes.
 
 Measured dead ends (v5e, this tunnel backend): a (2, 2)-slice single-index
 gather on a (B*(H+2), W+2) 2-D operand ran 1928 ms for one criterion layer

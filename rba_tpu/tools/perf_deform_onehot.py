@@ -100,7 +100,10 @@ def main(argv=None):
         return build_A(idx, wgt)
 
     def gather_path(value, loc, attn):
-        return ms_deform_attn_core(value, [(h, w)], loc, attn)
+        # pin the gather lowering: method="auto" would itself pick the
+        # one-hot path at this probe's default shape, making the baseline
+        # (and the error comparison) onehot-vs-onehot
+        return ms_deform_attn_core(value, [(h, w)], loc, attn, method="gather")
 
     # correctness first
     ref = np.asarray(gather_path(value, loc, attn))

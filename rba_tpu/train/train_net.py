@@ -102,34 +102,54 @@ def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 
     numpy augmentations release the GIL, so threads scale).  One worker was
     enough at the round-2 step time (0.5 s); at 0.105 s/step the host must
     sustain ~10 img/s, beyond a single ~100 ms/image mapper thread.
-    Batches may complete out of order across workers; the within-epoch
-    sample set is still exactly one seeded permutation."""
+
+    Determinism (matching the reference's seed-per-worker D2 loader): each
+    sample's augmentation draws come from a ``random.Random`` seeded by
+    (seed, stream position) — not from a mapper RNG shared across threads,
+    whose interleaving would be schedule-dependent — and a reorder buffer
+    yields batches in stream order, so two runs with the same --seed see
+    identical crops/flips/mixes in identical order for any worker count."""
+    import copy
+    import random as _random
+
     idx_q: queue.Queue = queue.Queue(maxsize=2 * max(workers, 1))
-    out_q: queue.Queue = queue.Queue(maxsize=4)
+    out_q: queue.Queue = queue.Queue(maxsize=4 + max(workers, 1))
 
     def coordinator():
         rng = np.random.RandomState(seed)
+        pos = 0  # global stream position (monotonic across epochs)
+        bseq = 0
         while True:
             idx = rng.permutation(len(ds))
             for start in range(0, len(idx) - batch_size + 1, batch_size):
-                idx_q.put(idx[start : start + batch_size])
+                idx_q.put((bseq, pos + start, idx[start : start + batch_size]))
+                bseq += 1
+            pos += len(idx)
 
     def worker():
         from ..data.mappers import collate
 
+        wmapper = copy.copy(mapper)  # private rng slot; shares heavy state
         while True:
-            ib = idx_q.get()
+            bseq, pos0, ib = idx_q.get()
             samples = []
-            for i in ib:
+            for j, i in enumerate(ib):
                 s = ds[int(i)]
-                samples.append(mapper(s.image, s.label))
-            out_q.put(collate(samples))
+                wmapper.rng = _random.Random(seed * 0x9E3779B1 + pos0 + j)
+                samples.append(wmapper(s.image, s.label))
+            out_q.put((bseq, collate(samples)))
 
     threading.Thread(target=coordinator, daemon=True).start()
     for _ in range(max(workers, 1)):
         threading.Thread(target=worker, daemon=True).start()
+    pending: dict = {}
+    want = 0
     while True:
-        yield out_q.get()
+        while want not in pending:
+            bseq, batch = out_q.get()
+            pending[bseq] = batch
+        yield pending.pop(want)
+        want += 1
 
 
 def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:

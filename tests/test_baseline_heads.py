@@ -129,6 +129,8 @@ def _load_torch_standard(td, enc_layers, dec_layers, mask_classification):
         "decoder_norm": t2j_ln(td.decoder_norm),
         "mask_embed": {"layers": [t2j_linear(m) for m in td.mask_mlp]},
     }
+    if getattr(td, "encoder_norm", None) is not None:
+        params["encoder_norm"] = t2j_ln(td.encoder_norm)
     if mask_classification:
         params["class_embed"] = t2j_linear(td.class_embed)
     return params
@@ -137,7 +139,9 @@ def _load_torch_standard(td, enc_layers, dec_layers, mask_classification):
 def test_standard_decoder_deep_supervision_golden(rng):
     """Full torch parity for the v1 decoder with deep supervision, in both
     class modes (mask_classification=False is the PerPixelBaselinePlusHead
-    predictor, reference per_pixel_baseline.py:295-299)."""
+    predictor, reference per_pixel_baseline.py:295-299) and both norm
+    placements (PRE_NORM pre-norm layers + final encoder LayerNorm,
+    reference transformer.py:37)."""
     from tests.torch_refs import TorchStandardDecoder
 
     in_ch, hd, nh, ff, nq, md, nc = 48, 32, 4, 64, 6, 32, 5
@@ -146,10 +150,13 @@ def test_standard_decoder_deep_supervision_golden(rng):
     x = rng.randn(2, in_ch, h, w).astype(np.float32)
     mask_features = rng.randn(2, md, 16, 24).astype(np.float32)
 
-    for mask_classification in (True, False):
+    for mask_classification, pre_norm in (
+        (True, False), (False, False), (True, True),
+    ):
         td = TorchStandardDecoder(
             in_ch, hd, nh, ff, enc_l, dec_l, nq, md,
             num_classes=nc if mask_classification else None,
+            normalize_before=pre_norm,
         )
         with torch.no_grad():
             td.query_embed.weight.normal_(0, 0.5)
@@ -161,7 +168,7 @@ def test_standard_decoder_deep_supervision_golden(rng):
             decoder=dataclasses.replace(
                 base.decoder, hidden_dim=hd, num_queries=nq, nheads=nh,
                 dim_feedforward=ff, mask_dim=md,
-                enc_layers=enc_l, dec_layers_total=dec_l,
+                enc_layers=enc_l, dec_layers_total=dec_l, pre_norm=pre_norm,
             ),
         )
         params = _load_torch_standard(td, enc_l, dec_l, mask_classification)
@@ -304,6 +311,33 @@ def test_per_pixel_point_rend_loss(rng):
     np.testing.assert_allclose(float(losses_d["loss_sem_seg"]), want, rtol=1e-5)
 
 
+def test_per_pixel_loss_drops_all_out_of_range_labels(rng):
+    """Labels >= K that are NOT the ignore value (e.g. ood_label=254 from
+    the coco-mix mappers) must be excluded, not folded mod K toward an
+    arbitrary inlier class — the reference F.cross_entropy(ignore_index=255)
+    rejects out-of-range targets outright.  Both the dense and the
+    point-rend path must treat 254 exactly like 255."""
+    logits = jnp.asarray(rng.randn(2, 7, 8, 8).astype(np.float32))
+    targets = rng.randint(0, 7, (2, 32, 32)).astype(np.int32)
+    targets[:, :3] = 254  # ood_label
+    targets[:, 3:5] = 255  # ignore
+    t254 = jnp.asarray(targets)
+    t255 = jnp.asarray(np.where(targets == 254, 255, targets))
+
+    dense_cfg = _fpn_cfg()
+    a = float(per_pixel_losses(dense_cfg, jax.random.PRNGKey(0), logits, [], t254)["loss_sem_seg"])
+    b = float(per_pixel_losses(dense_cfg, jax.random.PRNGKey(0), logits, [], t255)["loss_sem_seg"])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    pr_cfg = dataclasses.replace(
+        dense_cfg, loss=dataclasses.replace(dense_cfg.loss, use_point_rend=True,
+                                            train_num_points=64),
+    )
+    a = float(per_pixel_losses(pr_cfg, jax.random.PRNGKey(0), logits, [], t254)["loss_sem_seg"])
+    b = float(per_pixel_losses(pr_cfg, jax.random.PRNGKey(0), logits, [], t255)["loss_sem_seg"])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 def test_build_pixel_decoder_dispatch():
     cfg = tiny_test_config()
     for name in ("MSDeformAttnPixelDecoder", "BasePixelDecoder",
@@ -332,6 +366,9 @@ def _export_standard_decoder_d2(td, mask_classification):
     put(f"{pre}.input_proj.bias", td.input_proj.bias)
     put(f"{pre}.transformer.decoder.norm.weight", td.decoder_norm.weight)
     put(f"{pre}.transformer.decoder.norm.bias", td.decoder_norm.bias)
+    if getattr(td, "encoder_norm", None) is not None:
+        put(f"{pre}.transformer.encoder.norm.weight", td.encoder_norm.weight)
+        put(f"{pre}.transformer.encoder.norm.bias", td.encoder_norm.bias)
     if mask_classification:
         put(f"{pre}.class_embed.weight", td.class_embed.weight)
         put(f"{pre}.class_embed.bias", td.class_embed.bias)
@@ -389,9 +426,12 @@ def test_convert_standard_decoder_golden(rng):
     x = rng.randn(2, in_ch, h, w).astype(np.float32)
     mask_features = rng.randn(2, md, 16, 24).astype(np.float32)
 
-    for mask_classification in (True, False):
+    for mask_classification, pre_norm in (
+        (True, False), (False, False), (True, True),
+    ):
         td = TorchStandardDecoder(in_ch, hd, nh, ff, enc_l, dec_l, nq, md,
-                                  num_classes=nc if mask_classification else None)
+                                  num_classes=nc if mask_classification else None,
+                                  normalize_before=pre_norm)
         with torch.no_grad():
             td.query_embed.weight.normal_(0, 0.5)
         masks_t, logits_t = td(torch.from_numpy(x), torch.from_numpy(mask_features))
@@ -402,7 +442,7 @@ def test_convert_standard_decoder_golden(rng):
             decoder=dataclasses.replace(
                 base.decoder, hidden_dim=hd, num_queries=nq, nheads=nh,
                 dim_feedforward=ff, mask_dim=md,
-                enc_layers=enc_l, dec_layers_total=dec_l,
+                enc_layers=enc_l, dec_layers_total=dec_l, pre_norm=pre_norm,
             ),
         )
         sd = _export_standard_decoder_d2(td, mask_classification)

@@ -39,11 +39,11 @@ def test_prefetching_iterator_epoch_coverage_and_shapes():
         for v in b["images"][:, 0, 0, 0]:
             seen[int(v)] += 1
 
-    # batches may arrive out of order across workers (and the queue
-    # prefetches into the next epoch), but each id appears at most once per
-    # permutation, so in 15 consumed batches an id can occur at most 4
-    # times (epochs 1-3 plus one prefetched epoch-4 batch) and the totals
-    # match exactly 3 epochs of (len(ds) // bs) * bs samples
+    # batches are yielded in stream order (reorder buffer); each id appears
+    # at most once per permutation, so in 15 consumed batches an id can
+    # occur at most 3 times (epochs 1-3) — <= 4 kept for queue-prefetch
+    # slack — and the totals match exactly 3 epochs of
+    # (len(ds) // bs) * bs samples
     assert sum(seen.values()) == 3 * per_epoch * bs
     assert max(seen.values()) <= 4
     assert set(seen) <= set(range(len(ds)))
@@ -56,3 +56,40 @@ def test_prefetching_iterator_single_worker():
     it = prefetching_iterator(_StubDS(), _mapper, batch_size=2, seed=1, workers=1)
     b = next(it)
     assert b["images"].shape == (2, 4, 6, 3)
+
+
+class _RngMapper:
+    """Mapper that draws augmentations from self.rng, like the real
+    SemanticDatasetMapper (mappers.py:280-292)."""
+
+    def __init__(self):
+        import random
+
+        self.rng = random.Random(0)
+
+    def __call__(self, image, label):
+        jitter = np.float32(self.rng.random())
+        flip = self.rng.random() < 0.5
+        img = image.astype(np.float32) + jitter
+        return {
+            "images": img[:, ::-1] if flip else img,
+            "sem_seg": label.astype(np.int32),
+        }
+
+
+def test_prefetching_iterator_deterministic_across_worker_counts():
+    """Same --seed must reproduce the exact augmentation stream regardless
+    of worker count / thread scheduling (the reference's D2 loader seeds
+    each worker; here each sample draws from a Random keyed on
+    (seed, stream position) and batches are yielded in stream order)."""
+    def take(workers):
+        it = prefetching_iterator(_StubDS(), _RngMapper(), batch_size=4,
+                                  seed=7, workers=workers)
+        return [next(it) for _ in range(8)]
+
+    a, b, c = take(4), take(4), take(1)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["sem_seg"], y["sem_seg"])
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x["images"], y["images"])

@@ -638,9 +638,12 @@ class TorchStandardDecoder(nn.Module):
     head (the PerPixelBaselinePlusHead mode, mask_classification=False)."""
 
     def __init__(self, in_ch, hd, nh, ff, enc_layers, dec_layers, nq, md,
-                 num_classes=None):
+                 num_classes=None, normalize_before=False):
         super().__init__()
         self.hd, self.nh = hd, nh
+        self.normalize_before = normalize_before
+        # DETR transformer.py:37: pre-norm encoders end in a final LayerNorm
+        self.encoder_norm = nn.LayerNorm(hd) if normalize_before else None
         self.input_proj = nn.Conv2d(in_ch, hd, 1)
         self.query_embed = nn.Embedding(nq, hd)
         self.enc_self = nn.ModuleList(nn.MultiheadAttention(hd, nh) for _ in range(enc_layers))
@@ -670,22 +673,40 @@ class TorchStandardDecoder(nn.Module):
         pos = pos.flatten(2).permute(2, 0, 1)  # (HW, B, hd)
         src = self.input_proj(x).flatten(2).permute(2, 0, 1)
         for i in range(len(self.enc_self)):
-            q = k = src + pos
-            src2 = self.enc_self[i](q, k, value=src)[0]
-            src = self.enc_n1[i](src + src2)
-            src2 = self.enc_l2[i](F.relu(self.enc_l1[i](src)))
-            src = self.enc_n2[i](src + src2)
+            if self.normalize_before:  # DETR transformer.py forward_pre
+                s2 = self.enc_n1[i](src)
+                q = k = s2 + pos
+                src = src + self.enc_self[i](q, k, value=s2)[0]
+                s2 = self.enc_n2[i](src)
+                src = src + self.enc_l2[i](F.relu(self.enc_l1[i](s2)))
+            else:
+                q = k = src + pos
+                src2 = self.enc_self[i](q, k, value=src)[0]
+                src = self.enc_n1[i](src + src2)
+                src2 = self.enc_l2[i](F.relu(self.enc_l1[i](src)))
+                src = self.enc_n2[i](src + src2)
+        if self.encoder_norm is not None:
+            src = self.encoder_norm(src)
         qe = self.query_embed.weight[:, None].repeat(1, B, 1)  # (Q, B, hd)
         tgt = torch.zeros_like(qe)
         inter = []
         for i in range(len(self.dec_self)):
-            q = k = tgt + qe
-            t2 = self.dec_self[i](q, k, value=tgt)[0]
-            tgt = self.dec_n1[i](tgt + t2)
-            t2 = self.dec_cross[i](tgt + qe, src + pos, value=src)[0]
-            tgt = self.dec_n2[i](tgt + t2)
-            t2 = self.dec_l2[i](F.relu(self.dec_l1[i](tgt)))
-            tgt = self.dec_n3[i](tgt + t2)
+            if self.normalize_before:  # DETR transformer.py forward_pre
+                t2 = self.dec_n1[i](tgt)
+                q = k = t2 + qe
+                tgt = tgt + self.dec_self[i](q, k, value=t2)[0]
+                t2 = self.dec_n2[i](tgt)
+                tgt = tgt + self.dec_cross[i](t2 + qe, src + pos, value=src)[0]
+                t2 = self.dec_n3[i](tgt)
+                tgt = tgt + self.dec_l2[i](F.relu(self.dec_l1[i](t2)))
+            else:
+                q = k = tgt + qe
+                t2 = self.dec_self[i](q, k, value=tgt)[0]
+                tgt = self.dec_n1[i](tgt + t2)
+                t2 = self.dec_cross[i](tgt + qe, src + pos, value=src)[0]
+                tgt = self.dec_n2[i](tgt + t2)
+                t2 = self.dec_l2[i](F.relu(self.dec_l1[i](tgt)))
+                tgt = self.dec_n3[i](tgt + t2)
             inter.append(self.decoder_norm(tgt).transpose(0, 1))  # (B, Q, hd)
         masks = [torch.einsum("bqc,bchw->bqhw", self._mlp(h), mask_features) for h in inter]
         logits = [self.class_embed(h) for h in inter] if self.class_embed else None
