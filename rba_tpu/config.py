@@ -175,6 +175,18 @@ class InputConfig:
     min_size_test: int = 1024
     max_size_test: int = 2048
     image_format: str = "RGB"
+    # train-time mapper fields (reference INPUT.*, e.g.
+    # Base-Cityscapes-SemanticSegmentation.yaml:37-50; Mapillary differs:
+    # crop (1024, 1024), min sizes from a 2048 ladder, SIZE_DIVISIBILITY 1024)
+    min_size_train: Tuple[int, ...] = tuple(int(x * 0.1 * 1024) for x in range(5, 21))
+    max_size_train: int = 4096
+    crop_enabled: bool = True
+    crop_size: Tuple[int, int] = (512, 1024)
+    single_category_max_area: float = 1.0
+    color_aug_ssd: bool = True
+    random_flip: bool = True
+    train_size_divisibility: int = -1  # INPUT.SIZE_DIVISIBILITY (-1: pad to crop)
+    dataset_mapper_name: str = "mask_former_semantic"
 
 
 @dataclass(frozen=True)
@@ -348,6 +360,20 @@ def _features(names) -> Tuple[str, ...]:
     return tuple(_FEATURE_ALIASES.get(n, n) for n in names)
 
 
+def _seq(v) -> Tuple[int, ...]:
+    """Tolerant int-sequence coercion: frozen ckpt configs serialize
+    CROP.SIZE as a real YAML list, while the training corpus writes the
+    CfgNode python-tuple literal ``(512, 1024)`` which YAML reads as a
+    string."""
+    if isinstance(v, str):
+        import ast
+
+        v = ast.literal_eval(v)
+    if isinstance(v, (int, float)):
+        v = (v,)
+    return tuple(int(x) for x in v)
+
+
 def _int(v, default: int) -> int:
     """Tolerant int coercion: the reference corpus contains a literal typo
     (wideresnet 1dl config ``DEC_LAYERS: 2z``) that YAML reads as a string —
@@ -468,6 +494,11 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         aug_max_size=_get(test, "AUG.MAX_SIZE", 4096),
     )
 
+    crop = inp.get("CROP", {})
+    default_mst = tuple(int(x * 0.1 * 1024) for x in range(5, 21))
+    mst = inp.get("MIN_SIZE_TRAIN", default_mst)
+    if isinstance(mst, (int, float)):
+        mst = (int(mst),)
     input_cfg = InputConfig(
         pixel_mean=tuple(model.get("PIXEL_MEAN", (123.675, 116.28, 103.53))),
         pixel_std=tuple(model.get("PIXEL_STD", (58.395, 57.12, 57.375))),
@@ -475,6 +506,15 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         min_size_test=inp.get("MIN_SIZE_TEST", 1024),
         max_size_test=inp.get("MAX_SIZE_TEST", 2048),
         image_format=inp.get("FORMAT", "RGB"),
+        min_size_train=tuple(int(v) for v in mst),
+        max_size_train=inp.get("MAX_SIZE_TRAIN", 4096),
+        crop_enabled=crop.get("ENABLED", True),
+        crop_size=tuple(_seq(crop.get("SIZE", (512, 1024)))),
+        single_category_max_area=crop.get("SINGLE_CATEGORY_MAX_AREA", 1.0),
+        color_aug_ssd=inp.get("COLOR_AUG_SSD", True),
+        random_flip=inp.get("RANDOM_FLIP", "horizontal") != "none",
+        train_size_divisibility=inp.get("SIZE_DIVISIBILITY", -1),
+        dataset_mapper_name=inp.get("DATASET_MAPPER_NAME", "mask_former_semantic"),
     )
 
     ood = OODConfig(

@@ -94,6 +94,17 @@ def write_d2_config(cfg, path: str) -> None:
             "MIN_SIZE_TEST": cfg.input.min_size_test,
             "MAX_SIZE_TEST": cfg.input.max_size_test,
             "FORMAT": cfg.input.image_format,
+            "MIN_SIZE_TRAIN": list(cfg.input.min_size_train),
+            "MAX_SIZE_TRAIN": cfg.input.max_size_train,
+            "CROP": {
+                "ENABLED": cfg.input.crop_enabled,
+                "SIZE": list(cfg.input.crop_size),
+                "SINGLE_CATEGORY_MAX_AREA": cfg.input.single_category_max_area,
+            },
+            "COLOR_AUG_SSD": cfg.input.color_aug_ssd,
+            "RANDOM_FLIP": "horizontal" if cfg.input.random_flip else "none",
+            "SIZE_DIVISIBILITY": cfg.input.train_size_divisibility,
+            "DATASET_MAPPER_NAME": cfg.input.dataset_mapper_name,
         },
     }
     with open(path, "w") as f:

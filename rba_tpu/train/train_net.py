@@ -67,14 +67,25 @@ def build_mapper(cfg, args):
         StreetHazardsMapper,
     )
 
-    # each target needs a distinct query — cap the static target padding
+    # augmentation geometry from the config's INPUT section (reference
+    # mask_former_semantic_dataset_mapper.py from_config: MIN_SIZE_TRAIN
+    # ladder, CROP.SIZE, COLOR_AUG_SSD, SIZE_DIVISIBILITY — Mapillary
+    # differs from Cityscapes on all four); each target needs a distinct
+    # query, so the static target padding is capped at num_queries
     mcfg = MapperConfig(
+        min_sizes=cfg.input.min_size_train,
+        max_size=cfg.input.max_size_train,
+        crop_hw=tuple(cfg.input.crop_size),
+        single_category_max_area=cfg.input.single_category_max_area,
+        color_aug=cfg.input.color_aug_ssd,
+        flip=cfg.input.random_flip,
+        ignore_label=cfg.sem_seg_head_ignore_value,
         ood_label=cfg.ood.ood_label,
+        size_divisibility=cfg.input.train_size_divisibility,
         max_instances=min(32, cfg.decoder.num_queries),
     )
-    mapper_name = args.mapper or (
-        "mask_former_semantic_coco_mix" if cfg.ood.outlier_supervision else "mask_former_semantic"
-    )
+    # INPUT.DATASET_MAPPER_NAME (reference train_net.py:170-209), CLI wins
+    mapper_name = args.mapper or cfg.input.dataset_mapper_name
 
     def coco():
         if not args.coco_root:

@@ -61,6 +61,53 @@ def test_base_inheritance_values():
     assert not cfg_r50.resnet.stride_in_1x1
 
 
+def test_input_train_fields_ingested():
+    """Train-time INPUT fields reach the mapper config: Mapillary trains at
+    crop (1024, 1024) on a 2048-derived min-size ladder with
+    SIZE_DIVISIBILITY 1024, vs Cityscapes (512, 1024) / 1024 ladder / -1
+    (reference Base-*-SemanticSegmentation.yaml:37-50)."""
+    city = load_d2_config(
+        f"{REF}/configs/cityscapes/semantic-segmentation/maskformer2_R50_bs16_90k.yaml"
+    )
+    assert city.input.crop_size == (512, 1024)
+    assert city.input.min_size_train == tuple(int(x * 0.1 * 1024) for x in range(5, 21))
+    assert city.input.max_size_train == 4096
+    assert city.input.train_size_divisibility == -1
+    assert city.input.color_aug_ssd and city.input.crop_enabled
+    assert city.input.dataset_mapper_name == "mask_former_semantic"
+
+    mapi = load_d2_config(
+        f"{REF}/configs/mapillary-vistas/semantic-segmentation/maskformer2_R50_bs16_300k.yaml"
+    )
+    assert mapi.input.crop_size == (1024, 1024)
+    assert mapi.input.min_size_train == tuple(int(x * 0.1 * 2048) for x in range(5, 21))
+    assert mapi.input.max_size_train == 8192
+    assert mapi.input.train_size_divisibility == 1024
+
+    ood = load_d2_config(f"{REF}/ckpts/swin_b_1dl_rba_ood_coco/config.yaml")
+    assert ood.input.dataset_mapper_name == "mask_former_semantic_coco_mix"
+
+
+def test_build_mapper_uses_config_input():
+    """The train CLI's mapper geometry comes from the config, not hardcoded
+    Cityscapes defaults (reference mask_former_semantic_dataset_mapper.py
+    from_config)."""
+    import argparse
+
+    from rba_tpu.train.train_net import build_mapper
+
+    cfg = load_d2_config(
+        f"{REF}/configs/mapillary-vistas/semantic-segmentation/maskformer2_R50_bs16_300k.yaml"
+    )
+    args = argparse.Namespace(mapper=None, seed=0, coco_root=None)
+    m = build_mapper(cfg, args)
+    assert m.cfg.crop_hw == (1024, 1024)
+    assert m.cfg.min_sizes == cfg.input.min_size_train
+    assert m.cfg.max_size == 8192
+    assert m.cfg.size_divisibility == 1024
+    assert m.cfg.ignore_label == cfg.sem_seg_head_ignore_value
+
+
 def test_variant_backbones_resolved():
     base = f"{REF}/configs/cityscapes/semantic-segmentation"
     assert load_d2_config(f"{base}/maskformer2_R101_bs16_90k.yaml").resnet.depth == 101
