@@ -187,6 +187,9 @@ class InputConfig:
     random_flip: bool = True
     train_size_divisibility: int = -1  # INPUT.SIZE_DIVISIBILITY (-1: pad to crop)
     dataset_mapper_name: str = "mask_former_semantic"
+    repeat_instance_masks: int = 1
+    coco_root: str = "coco/"  # INPUT.COCO_ROOT, relative to the datasets dir
+    coco_proxy_size: int = 300  # INPUT.COCO_PROXY_SIZE
 
 
 @dataclass(frozen=True)
@@ -515,6 +518,9 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         random_flip=inp.get("RANDOM_FLIP", "horizontal") != "none",
         train_size_divisibility=inp.get("SIZE_DIVISIBILITY", -1),
         dataset_mapper_name=inp.get("DATASET_MAPPER_NAME", "mask_former_semantic"),
+        repeat_instance_masks=inp.get("REPEAT_INSTANCE_MASKS", 1),
+        coco_root=inp.get("COCO_ROOT", "coco/"),
+        coco_proxy_size=inp.get("COCO_PROXY_SIZE", 300),
     )
 
     ood = OODConfig(

@@ -264,6 +264,7 @@ class MapperConfig:
     ood_label: int = 254
     size_divisibility: int = -1  # -1: pad to crop size
     max_instances: int = 32  # static target padding for TPU
+    repeat_instance_masks: int = 1  # INPUT.REPEAT_INSTANCE_MASKS
 
 
 class SemanticDatasetMapper:
@@ -308,6 +309,10 @@ class SemanticDatasetMapper:
         c = self.cfg
         classes = np.unique(sem_seg)
         classes = classes[(classes != c.ignore_label) & (classes != c.ood_label)]
+        # INPUT.REPEAT_INSTANCE_MASKS: each class mask becomes N identical
+        # targets (reference coco_mix mapper :308-313; every shipped config
+        # uses 1)
+        classes = np.repeat(classes, max(1, c.repeat_instance_masks))
         classes = classes[: c.max_instances]
         t = c.max_instances
         gt_labels = np.zeros((t,), np.int32)

@@ -105,6 +105,9 @@ def write_d2_config(cfg, path: str) -> None:
             "RANDOM_FLIP": "horizontal" if cfg.input.random_flip else "none",
             "SIZE_DIVISIBILITY": cfg.input.train_size_divisibility,
             "DATASET_MAPPER_NAME": cfg.input.dataset_mapper_name,
+            "REPEAT_INSTANCE_MASKS": cfg.input.repeat_instance_masks,
+            "COCO_ROOT": cfg.input.coco_root,
+            "COCO_PROXY_SIZE": cfg.input.coco_proxy_size,
         },
     }
     with open(path, "w") as f:

@@ -83,14 +83,27 @@ def build_mapper(cfg, args):
         ood_label=cfg.ood.ood_label,
         size_divisibility=cfg.input.train_size_divisibility,
         max_instances=min(32, cfg.decoder.num_queries),
+        repeat_instance_masks=cfg.input.repeat_instance_masks,
     )
     # INPUT.DATASET_MAPPER_NAME (reference train_net.py:170-209), CLI wins
     mapper_name = args.mapper or cfg.input.dataset_mapper_name
 
     def coco():
-        if not args.coco_root:
-            raise ValueError("--coco-root required for coco_mix mappers")
-        return COCOProxyDataset(args.coco_root, proxy_size=300)
+        # --coco-root wins; else INPUT.COCO_ROOT, resolved against the
+        # datasets dir (the parent of --data-root), mirroring the
+        # reference's DETECTRON2_DATASETS join (coco_mix mapper :148)
+        root = args.coco_root
+        if not root:
+            root = cfg.input.coco_root
+            if not os.path.isabs(root):
+                root = os.path.join(os.path.dirname(
+                    os.path.abspath(args.data_root)), root)
+            if not os.path.isdir(root):
+                raise ValueError(
+                    "--coco-root required for coco_mix mappers "
+                    f"(INPUT.COCO_ROOT fallback {root!r} does not exist)"
+                )
+        return COCOProxyDataset(root, proxy_size=cfg.input.coco_proxy_size)
 
     if mapper_name == "mask_former_semantic_coco_mix":
         return SemanticCocoMixDatasetMapper(mcfg, coco(), ood_prob=cfg.ood.ood_prob, seed=args.seed)

@@ -86,6 +86,29 @@ def test_input_train_fields_ingested():
 
     ood = load_d2_config(f"{REF}/ckpts/swin_b_1dl_rba_ood_coco/config.yaml")
     assert ood.input.dataset_mapper_name == "mask_former_semantic_coco_mix"
+    assert ood.input.coco_root == "COCO/"
+    assert ood.input.coco_proxy_size == 300
+    assert ood.input.repeat_instance_masks == 1
+
+
+def test_repeat_instance_masks():
+    """INPUT.REPEAT_INSTANCE_MASKS duplicates each class mask N times as
+    targets (reference coco_mix mapper :308-313)."""
+    import numpy as np
+
+    from rba_tpu.data.mappers import MapperConfig, SemanticDatasetMapper
+
+    m = SemanticDatasetMapper(
+        MapperConfig(min_sizes=(16,), crop_hw=(16, 16), color_aug=False,
+                     flip=False, max_instances=8, repeat_instance_masks=2)
+    )
+    img = np.zeros((16, 16, 3), np.uint8)
+    seg = np.zeros((16, 16), np.uint8)
+    seg[8:] = 3
+    ex = m(img, seg)
+    assert list(ex["gt_labels"][:4]) == [0, 0, 3, 3]
+    assert list(ex["gt_valid"]) == [1, 1, 1, 1, 0, 0, 0, 0]
+    np.testing.assert_array_equal(ex["gt_masks"][0], ex["gt_masks"][1])
 
 
 def test_build_mapper_uses_config_input():
