@@ -165,6 +165,7 @@ class TestConfig:
     aug_flip: bool = True
     aug_min_sizes: Tuple[int, ...] = (512, 768, 1024, 1280, 1536, 1792)
     aug_max_size: int = 4096
+    eval_period: int = 5000  # TEST.EVAL_PERIOD (0: no in-train eval)
 
 
 @dataclass(frozen=True)
@@ -491,6 +492,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         ),
         object_mask_threshold=tst.get("OBJECT_MASK_THRESHOLD", 0.8),
         overlap_threshold=tst.get("OVERLAP_THRESHOLD", 0.8),
+        eval_period=_get(test, "EVAL_PERIOD", 5000),
         aug_enabled=_get(test, "AUG.ENABLED", False),
         aug_flip=_get(test, "AUG.FLIP", True),
         aug_min_sizes=tuple(_get(test, "AUG.MIN_SIZES", (512, 768, 1024, 1280, 1536, 1792))),

@@ -51,7 +51,39 @@ def parse_args(argv=None):
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient-accumulation steps (global batch = "
                         "batch_size x grad_accum)")
+    p.add_argument("--eval-only", action="store_true",
+                   help="evaluate mIoU on the val split from the latest "
+                        "checkpoint and exit (reference train_net.py:372)")
+    p.add_argument("--eval-period", type=int, default=None,
+                   help="in-train val-eval period in steps (default: "
+                        "TEST.EVAL_PERIOD from the config; 0 disables)")
+    p.add_argument("--eval-max-images", type=int, default=None,
+                   help="cap val images per in-train eval")
     return p.parse_args(argv)
+
+
+def run_val_eval(cfg, params, data_root: str, max_images=None):
+    """Cityscapes-val mIoU with the current params (reference Trainer.test
+    via SemSegEvaluator, train_net.py:83-102).  Returns None when no val
+    split exists under ``data_root``."""
+    from ..data.ood_datasets import CityscapesSemSeg
+    from ..evalx.seg_evaluators import SemSegEvaluator
+
+    try:
+        ds = CityscapesSemSeg(data_root, split="val")
+    except FileNotFoundError:
+        return None
+    if len(ds) == 0:
+        return None
+    ev = SemSegEvaluator(cfg, jax.device_get(params))
+    n = len(ds) if not max_images else min(int(max_images), len(ds))
+    for i in range(n):
+        s = ds[i]
+        ev.process(s.image, s.label)
+    out = ev.evaluate()
+    out.pop("IoU_per_class", None)
+    out["eval_images"] = n
+    return out
 
 
 def build_mapper(cfg, args):
@@ -209,12 +241,23 @@ def main(argv=None):
 
     state = make_train_state(jax.random.PRNGKey(args.seed), cfg, mesh)
     start = 0
-    if args.resume:
+    if args.resume or args.eval_only:
         step0 = latest_step(ckpt_dir)
         if step0 is not None:
             state = restore_train_state(ckpt_dir, state, step0)
             start = step0
             print(f"resumed from step {step0}")
+        elif args.eval_only:
+            print("WARNING: --eval-only with no checkpoint: random-init weights")
+
+    if args.eval_only:
+        res = run_val_eval(cfg, state.params, args.data_root, args.eval_max_images)
+        if res is None:
+            raise FileNotFoundError(f"no cityscapes val data under {args.data_root}")
+        res["step"] = start
+        print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                          for k, v in res.items()}))
+        return res
 
     step_fn = make_train_step(cfg, mesh, grad_accum=max(1, args.grad_accum))
     it = data_iterator(cfg, args, batch_size)
@@ -246,6 +289,17 @@ def main(argv=None):
         if (i + 1) % args.checkpoint_period == 0 or (i + 1) == max_iter:
             save_train_state(ckpt_dir, state, i + 1)
             print(f"saved checkpoint at step {i + 1}")
+        eval_period = cfg.test.eval_period if args.eval_period is None else args.eval_period
+        if eval_period > 0 and (i + 1) % eval_period == 0:
+            res = run_val_eval(cfg, state.params, args.data_root, args.eval_max_images)
+            if res is not None:
+                res["step"] = i + 1
+                print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                  for k, v in res.items()}))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(res) + "\n")
+                if wandb_run is not None:
+                    wandb_run.log(res, step=i + 1)
 
 
 if __name__ == "__main__":

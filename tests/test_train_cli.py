@@ -13,18 +13,19 @@ from rba_tpu.config import InputConfig, tiny_test_config
 
 
 def _make_cityscapes_tree(root: str, n: int = 10, hw=(48, 80), num_classes: int = 7):
-    img_dir = os.path.join(root, "leftImg8bit", "train", "cityA")
-    gt_dir = os.path.join(root, "gtFine", "train", "cityA")
-    os.makedirs(img_dir)
-    os.makedirs(gt_dir)
-    rng = np.random.RandomState(0)
-    for i in range(n):
-        img = rng.randint(0, 255, (hw[0], hw[1], 3), np.uint8)
-        lab = rng.randint(0, num_classes, hw, np.uint8)
-        Image.fromarray(img).save(os.path.join(img_dir, f"s{i}_leftImg8bit.png"))
-        Image.fromarray(lab).save(
-            os.path.join(gt_dir, f"s{i}_gtFine_labelTrainIds.png")
-        )
+    for split, count in (("train", n), ("val", 2)):
+        img_dir = os.path.join(root, "leftImg8bit", split, "cityA")
+        gt_dir = os.path.join(root, "gtFine", split, "cityA")
+        os.makedirs(img_dir)
+        os.makedirs(gt_dir)
+        rng = np.random.RandomState(0 if split == "train" else 1)
+        for i in range(count):
+            img = rng.randint(0, 255, (hw[0], hw[1], 3), np.uint8)
+            lab = rng.randint(0, num_classes, hw, np.uint8)
+            Image.fromarray(img).save(os.path.join(img_dir, f"s{i}_leftImg8bit.png"))
+            Image.fromarray(lab).save(
+                os.path.join(gt_dir, f"s{i}_gtFine_labelTrainIds.png")
+            )
 
 
 def test_train_cli_end_to_end(tmp_path):
@@ -60,12 +61,19 @@ def test_train_cli_end_to_end(tmp_path):
         "--checkpoint-period", "2",
         "--workers", "2",
         "--seed", "3",
+        "--eval-period", "2",
+        "--eval-max-images", "2",
     ])
 
-    # metrics.jsonl has one entry per step with finite losses
+    # metrics.jsonl has one train entry per step with finite losses, plus an
+    # in-train val-eval entry at step 2 (TEST.EVAL_PERIOD analogue)
     lines = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
-    assert [m["step"] for m in lines] == [1, 2]
-    assert all(np.isfinite(m["total"]) for m in lines)
+    train_lines = [m for m in lines if "total" in m]
+    eval_lines = [m for m in lines if "mIoU" in m]
+    assert [m["step"] for m in train_lines] == [1, 2]
+    assert all(np.isfinite(m["total"]) for m in train_lines)
+    assert [m["step"] for m in eval_lines] == [2]
+    assert 0.0 <= eval_lines[0]["pACC"] <= 1.0 and eval_lines[0]["eval_images"] == 2
 
     # the checkpoint landed and resume continues from it
     from rba_tpu.convert.checkpoint import latest_step
@@ -83,6 +91,18 @@ def test_train_cli_end_to_end(tmp_path):
         "--workers", "2",
         "--seed", "3",
         "--resume",
+        "--eval-period", "0",
     ])
     lines = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
-    assert [m["step"] for m in lines] == [1, 2, 3]  # resumed at step 3
+    steps = [m["step"] for m in lines if "total" in m]
+    assert steps == [1, 2, 3]  # resumed at step 3
+
+    # --eval-only evaluates from the latest checkpoint and exits
+    res = main([
+        "--config-file", str(cfg_path),
+        "--data-root", str(data_root),
+        "--output-dir", str(out_dir),
+        "--eval-only",
+        "--eval-max-images", "2",
+    ])
+    assert res["step"] == 3 and "mIoU" in res and res["eval_images"] == 2
