@@ -255,6 +255,9 @@ class SolverConfig:
     poly_lr_constant_ending: float = 0.0
     ims_per_batch: int = 16
     amp: bool = True
+    # DATALOADER.NUM_WORKERS (reference configs use 5-10): default mapper
+    # thread count for the host prefetcher; --workers overrides
+    num_workers: int = 4
     freeze_backbone: bool = False
     freeze_pixel_decoder: bool = False
     freeze_transformer_decoder: bool = False
@@ -577,6 +580,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         poly_lr_constant_ending=solver.get("POLY_LR_CONSTANT_ENDING", 0.0),
         ims_per_batch=solver.get("IMS_PER_BATCH", 16),
         amp=_get(solver, "AMP.ENABLED", True),
+        num_workers=_get(raw, "DATALOADER.NUM_WORKERS", 4),
         freeze_backbone=model.get("FREEZE_BACKBONE", False),
         freeze_pixel_decoder=model.get("FREEZE_PIXEL_DECODER", False),
         freeze_transformer_decoder=model.get("FREEZE_TRANSFORMER_DECODER", False),

@@ -40,9 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--log-period", type=int, default=20)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--workers", type=int, default=4,
-                   help="mapper threads feeding the prefetch queue (the "
-                        "reference's DATALOADER.NUM_WORKERS analogue)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="mapper threads feeding the prefetch queue "
+                        "(default: DATALOADER.NUM_WORKERS from the config)")
     p.add_argument("--mapper", default=None,
                    choices=[None, "mask_former_semantic", "mask_former_semantic_coco_mix",
                             "mask_former_semantic_void",
@@ -218,7 +218,8 @@ def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:
         raise FileNotFoundError(f"no cityscapes train data under {args.data_root}")
     mapper = build_mapper(cfg, args)
     return prefetching_iterator(
-        ds, mapper, batch_size, args.seed, workers=getattr(args, "workers", 4)
+        ds, mapper, batch_size, args.seed,
+        workers=getattr(args, "workers", None) or cfg.solver.num_workers,
     )
 
 

@@ -90,6 +90,12 @@ def test_input_train_fields_ingested():
     assert ood.input.coco_proxy_size == 300
     assert ood.input.repeat_instance_masks == 1
 
+    # DATALOADER.NUM_WORKERS (frozen ckpt: 10; mapillary base: 5)
+    ckpt = load_d2_config(f"{REF}/ckpts/swin_b_1dl/config.yaml")
+    assert ckpt.solver.num_workers == 10
+    assert mapi.solver.num_workers == 5
+    assert ckpt.test.eval_period == 5000
+
 
 def test_repeat_instance_masks():
     """INPUT.REPEAT_INSTANCE_MASKS duplicates each class mask N times as
