@@ -109,6 +109,16 @@ def write_d2_config(cfg, path: str) -> None:
             "COCO_ROOT": cfg.input.coco_root,
             "COCO_PROXY_SIZE": cfg.input.coco_proxy_size,
         },
+        "TEST": {
+            "EVAL_PERIOD": cfg.test.eval_period,
+            "AUG": {
+                "ENABLED": cfg.test.aug_enabled,
+                "FLIP": cfg.test.aug_flip,
+                "MIN_SIZES": list(cfg.test.aug_min_sizes),
+                "MAX_SIZE": cfg.test.aug_max_size,
+            },
+        },
+        "DATALOADER": {"NUM_WORKERS": cfg.solver.num_workers},
     }
     with open(path, "w") as f:
         yaml.safe_dump(d, f)

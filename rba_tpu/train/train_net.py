@@ -62,10 +62,11 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def run_val_eval(cfg, params, data_root: str, max_images=None):
+def run_val_eval(cfg, params, data_root: str, max_images=None, tta: bool = False):
     """Cityscapes-val mIoU with the current params (reference Trainer.test
-    via SemSegEvaluator, train_net.py:83-102).  Returns None when no val
-    split exists under ``data_root``."""
+    via SemSegEvaluator, train_net.py:83-102; ``tta=True`` mirrors
+    Trainer.test_with_TTA, :378-379).  Returns None when no val split
+    exists under ``data_root``."""
     from ..data.ood_datasets import CityscapesSemSeg
     from ..evalx.seg_evaluators import SemSegEvaluator
 
@@ -75,11 +76,25 @@ def run_val_eval(cfg, params, data_root: str, max_images=None):
         return None
     if len(ds) == 0:
         return None
-    ev = SemSegEvaluator(cfg, jax.device_get(params))
+    params = jax.device_get(params)
+    ev = SemSegEvaluator(cfg, params)
     n = len(ds) if not max_images else min(int(max_images), len(ds))
-    for i in range(n):
-        s = ds[i]
-        ev.process(s.image, s.label)
+    if tta:
+        from ..models.tta import tta_inference
+
+        k = cfg.num_classes
+        for i in range(n):
+            s = ds[i]
+            pred = np.asarray(tta_inference(params, cfg, s.image)).argmax(0)
+            valid = s.label != 255
+            ev.conf += np.bincount(
+                s.label[valid].astype(np.int64) * k + pred[valid],
+                minlength=k * k,
+            ).reshape(k, k)
+    else:
+        for i in range(n):
+            s = ds[i]
+            ev.process(s.image, s.label)
     out = ev.evaluate()
     out.pop("IoU_per_class", None)
     out["eval_images"] = n
@@ -255,6 +270,12 @@ def main(argv=None):
         res = run_val_eval(cfg, state.params, args.data_root, args.eval_max_images)
         if res is None:
             raise FileNotFoundError(f"no cityscapes val data under {args.data_root}")
+        if cfg.test.aug_enabled:
+            # reference train_net.py:378-379: TEST.AUG.ENABLED adds a
+            # test-time-augmentation pass on top of the plain eval
+            res.update({f"{k}_TTA": v for k, v in run_val_eval(
+                cfg, state.params, args.data_root, args.eval_max_images, tta=True
+            ).items() if k != "eval_images"})
         res["step"] = start
         print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
                           for k, v in res.items()}))

@@ -106,3 +106,22 @@ def test_train_cli_end_to_end(tmp_path):
         "--eval-max-images", "2",
     ])
     assert res["step"] == 3 and "mIoU" in res and res["eval_images"] == 2
+
+    # TEST.AUG.ENABLED adds a TTA pass to --eval-only (reference
+    # Trainer.test_with_TTA)
+    cfg_tta = dataclasses.replace(
+        cfg,
+        test=dataclasses.replace(
+            cfg.test, aug_enabled=True, aug_min_sizes=(32, 48), aug_max_size=96
+        ),
+    )
+    cfg_tta_path = tmp_path / "config_tta.yaml"
+    write_d2_config(cfg_tta, str(cfg_tta_path))
+    res = main([
+        "--config-file", str(cfg_tta_path),
+        "--data-root", str(data_root),
+        "--output-dir", str(out_dir),
+        "--eval-only",
+        "--eval-max-images", "1",
+    ])
+    assert "mIoU_TTA" in res and np.isfinite(res["mIoU_TTA"])
