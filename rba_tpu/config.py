@@ -482,7 +482,11 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         num_feature_levels=len(head.get("DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES", ("res5",))),
         ood_prediction=mf.get("DENSE_HYBRID_LOSS", False),
         name=mf.get("TRANSFORMER_DECODER_NAME", "MultiScaleMaskedTransformerDecoder"),
-        transformer_in_feature=mf.get("TRANSFORMER_IN_FEATURE", "multi_scale_pixel_decoder"),
+        # reference D2 default is "res5" (config.py:50); every shipped v2
+        # config sets multi_scale_pixel_decoder explicitly, so a yaml that
+        # omits the key is a v1-era config whose predictor reads a backbone
+        # feature
+        transformer_in_feature=mf.get("TRANSFORMER_IN_FEATURE", "res5"),
     )
 
     tst = mf.get("TEST", {})

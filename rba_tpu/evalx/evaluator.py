@@ -54,19 +54,29 @@ def prefetch(dataset, limit: int, depth: int = 3):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    err: list = []
 
     def producer():
-        for i, sample in enumerate(dataset):
-            if i >= limit:
-                break
-            q.put(sample)
-        q.put(done)
+        # the sentinel MUST reach the queue even when decode raises
+        # (corrupt/missing image), or the consumer blocks forever; the
+        # exception is carried across and re-raised on the main thread
+        try:
+            for i, sample in enumerate(dataset):
+                if i >= limit:
+                    break
+                q.put(sample)
+        except BaseException as e:  # noqa: BLE001 — relayed below
+            err.append(e)
+        finally:
+            q.put(done)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     while True:
         item = q.get()
         if item is done:
+            if err:
+                raise err[0]
             break
         yield item
 

@@ -103,6 +103,8 @@ def exact_ood_metrics(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float
     mask = labels != 255
     s = scores[mask].astype(np.float64)
     y = (labels[mask] == 1).astype(np.int64)
+    if s.size == 0:  # every pixel ignored — guard before any indexing
+        return {"AUPRC": float("nan"), "AUROC": float("nan"), "FPR@95TPR": float("nan")}
     order = np.argsort(-s, kind="mergesort")
     s, y = s[order], y[order]
     distinct = np.where(np.diff(s))[0]
@@ -137,6 +139,13 @@ class StreamingOODMetrics:
         self.range = score_range
         self.pos = jnp.zeros((bins,), jnp.int32)
         self.neg = jnp.zeros((bins,), jnp.int32)
+        # int64 needs jax x64 mode, so the device accumulators are int32;
+        # they are flushed into host int64 totals before a single bin could
+        # ever reach 2^31 (worst case: every scored pixel lands in one bin)
+        self._pos_host = np.zeros((bins,), np.int64)
+        self._neg_host = np.zeros((bins,), np.int64)
+        self._px_since_flush = 0
+        self._flush_px = 2**31 - 2**26
         # running observed min/max over scored (non-ignore) pixels, so
         # unbounded scores (e.g. energy logsumexp) that saturate the edge
         # bins are detected instead of silently distorting the metrics
@@ -157,6 +166,18 @@ class StreamingOODMetrics:
         self.pos, self.neg, self.smin, self.smax = self._update(
             self.pos, self.neg, self.smin, self.smax, scores, jnp.asarray(labels)
         )
+        self._px_since_flush += int(np.prod(np.shape(scores)))
+        if self._px_since_flush >= self._flush_px:
+            self._flush()
+
+    def _flush(self):
+        """Move the device int32 partial histograms into the host int64
+        totals (one device→host sync; called every ~2e9 scored pixels)."""
+        self._pos_host += np.asarray(self.pos, np.int64)
+        self._neg_host += np.asarray(self.neg, np.int64)
+        self.pos = jnp.zeros((self.bins,), jnp.int32)
+        self.neg = jnp.zeros((self.bins,), jnp.int32)
+        self._px_since_flush = 0
 
     @property
     def clipped(self) -> bool:
@@ -174,6 +195,5 @@ class StreamingOODMetrics:
                 f"re-run with a wider score_range or the exact path",
                 stacklevel=2,
             )
-        return metrics_from_histograms(
-            np.asarray(self.pos, np.int64), np.asarray(self.neg, np.int64)
-        )
+        self._flush()
+        return metrics_from_histograms(self._pos_host, self._neg_host)

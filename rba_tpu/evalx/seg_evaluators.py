@@ -88,26 +88,34 @@ class OpenPanopticEvaluator:
         self.pixel_min = pixel_min
         self.pairs: List = []
 
-        @functools.lru_cache(maxsize=16)
-        def for_shape(shape):
-            def fn(params, images):
-                out = maskformer_infer(params, cfg, images)
-                return out["sem_seg"]
-
-            return jax.jit(fn)
-
-        self._sem = for_shape
-
-    def _raw_outputs(self, image: np.ndarray):
         from ..models.maskformer import maskformer_forward, preprocess
         from ..ops.resize import resize_bilinear
 
-        x = preprocess(self.cfg, jnp.asarray(image[None], jnp.float32))
-        outputs = maskformer_forward(self.params, self.cfg, x)
-        mask_pred = resize_bilinear(
-            outputs["pred_masks"], (x.shape[1], x.shape[2]), align_corners=False
-        )[:, :, : image.shape[0], : image.shape[1]]
-        return np.asarray(outputs["pred_logits"][0]), np.asarray(mask_pred[0])
+        # one jitted raw-outputs fn per input shape: an eager forward here
+        # dispatches thousands of ops per image (minutes through the ~26 ms
+        # tunnel RTT vs ~50 ms jitted)
+        @functools.lru_cache(maxsize=16)
+        def raw_for_shape(shape):
+            def fn(params, images):
+                x = preprocess(cfg, images)
+                outputs = maskformer_forward(params, cfg, x)
+                mask_pred = resize_bilinear(
+                    outputs["pred_masks"], (x.shape[1], x.shape[2]),
+                    align_corners=False,
+                )
+                return outputs["pred_logits"], mask_pred
+
+            return jax.jit(fn)
+
+        self._raw = raw_for_shape
+
+    def _raw_outputs(self, image: np.ndarray):
+        logits, mask_pred = self._raw((1,) + tuple(image.shape))(
+            self.params, jnp.asarray(image[None], jnp.float32)
+        )
+        # crop the divisibility padding on host (shape-dependent slice)
+        mask_pred = np.asarray(mask_pred[0])[:, : image.shape[0], : image.shape[1]]
+        return np.asarray(logits[0]), mask_pred
 
     def process(self, image: np.ndarray, pan_gt: np.ndarray, segments_gt: List[Dict]):
         mask_cls, mask_pred = self._raw_outputs(image)
@@ -220,10 +228,14 @@ def open_world_ap(
             out.append(d)
         return out
 
+    # max over KNOWN ids only: the unknown class (often 255) would inflate
+    # the known-AP loop to 256 classes of mostly empty work
     n_known = int(
         max(
-            [g["classes"].max(initial=-1) for g in ground_truths]
-            + [p["pred_classes"].max(initial=-1) for p in predictions]
+            [g["classes"][g["classes"] != unknown_class].max(initial=-1)
+             for g in ground_truths]
+            + [p["pred_classes"][p["pred_classes"] != unknown_class].max(initial=-1)
+               for p in predictions]
         )
     ) + 1
     known = mask_average_precision(
@@ -247,10 +259,12 @@ class InstanceEvaluator:
         self.topk = topk
         self.preds: List[Dict] = []
         self.gts: List[Dict] = []
+        # reuse ONE forward-fn cache across images (a per-image evaluator
+        # would retrace/recompile the model every call)
+        self._fwd = OpenPanopticEvaluator(self.cfg, self.params)
 
     def process(self, image: np.ndarray, gt_masks: np.ndarray, gt_classes: np.ndarray):
-        ev = OpenPanopticEvaluator(self.cfg, self.params)
-        mask_cls, mask_pred = ev._raw_outputs(image)
+        mask_cls, mask_pred = self._fwd._raw_outputs(image)
         out = instance_inference(self.cfg, mask_cls, mask_pred, topk=self.topk)
         self.preds.append(out)
         self.gts.append({"masks": gt_masks, "classes": gt_classes})

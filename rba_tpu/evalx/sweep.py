@@ -71,7 +71,22 @@ def result_exists(out_path: str, model_name: str) -> bool:
     return os.path.exists(os.path.join(out_path, model_name, "results.pkl"))
 
 
+def load_results(out_path: str, model_name: str) -> dict:
+    """Existing per-model results ({dataset: metrics}), or {}."""
+    p = os.path.join(out_path, model_name, "results.pkl")
+    if not os.path.exists(p):
+        return {}
+    with open(p, "rb") as f:
+        return pickle.load(f)
+
+
 def save_results(out_path: str, model_name: str, results: dict, verbose: bool):
+    """Merge ``results`` into the on-disk per-model dict and write it.
+
+    Merge-on-write (instead of overwrite) keeps concurrent --shard i/n runs
+    of the same model on different datasets from clobbering each other, and
+    incremental callers (one save per finished dataset) resumable."""
+    results = {**load_results(out_path, model_name), **results}
     if verbose:
         pprint(results)
     store = os.path.join(out_path, model_name)
@@ -171,12 +186,13 @@ def main(argv=None):
         i, n = (int(v) for v in args.shard.split("/"))
         work = work[i::n]
 
-    results_by_model: dict = {}
     loaded = {}
     for model_dir, ds_name in work:
         model_name = os.path.basename(model_dir.rstrip("/"))
-        if result_exists(args.out_path, model_name) and args.shard is None:
-            print(f"skip {model_name}: results.pkl exists")
+        # resumability is per (model, dataset): a partial results.pkl from
+        # an interrupted or sharded run only skips its finished datasets
+        if ds_name in load_results(args.out_path, model_name):
+            print(f"skip {model_name}/{ds_name}: already in results.pkl")
             continue
         if model_dir not in loaded:
             print(f"loading {model_name} ...")
@@ -188,13 +204,22 @@ def main(argv=None):
         evaluator = loaded[model_dir]
         print(f"evaluating {model_name} on {ds_name} ({len(datasets[ds_name])} images)")
         if args.tta or args.sliding_window:
-            import jax.numpy as jnp
             import numpy as np
 
+            from ..evalx.evaluator import _gaussian_blur
             from ..evalx.metrics import exact_ood_metrics
-            from ..models.maskformer import rba_score
+            from ..models.maskformer import energy_score, rba_score
             from ..models.sliding_window import sliding_window_sem_seg
             from ..models.tta import tta_inference
+
+            if args.score_func == "dense_hybrid":
+                # dense_hybrid needs the model's ood_pred head, which the
+                # aggregated tta/sliding sem_seg does not carry
+                raise SystemExit(
+                    "--score_func dense_hybrid is not supported with "
+                    "--tta/--sliding-window"
+                )
+            score_op = rba_score if args.score_func == "rba" else energy_score
 
             cfg_m, params_m = evaluator.cfg, evaluator.params
             scores, gts = [], []
@@ -205,7 +230,10 @@ def main(argv=None):
                     sem = tta_inference(params_m, cfg_m, sample.image)
                 else:
                     sem = sliding_window_sem_seg(params_m, cfg_m, sample.image)
-                scores.append(np.asarray(rba_score(sem[None])[0]))
+                s = score_op(sem[None])
+                if args.smoothing:
+                    s = _gaussian_blur(s)
+                scores.append(np.asarray(s[0]))
                 gts.append(sample.label)
             m = exact_ood_metrics(np.stack(scores).reshape(-1), np.stack(gts).reshape(-1))
             metrics = {"auroc": m["AUROC"], "aupr": m["AUPRC"], "fpr95": m["FPR@95TPR"]}
@@ -222,10 +250,9 @@ def main(argv=None):
         else:
             metrics = evaluator.evaluate_dataset(datasets[ds_name], upper_limit=args.upper_limit)
         print(f"  {metrics}")
-        results_by_model.setdefault(model_name, {})[ds_name] = metrics
-
-    for model_name, res in results_by_model.items():
-        save_results(args.out_path, model_name, res, args.verbose)
+        # save after EVERY finished dataset: a crash loses at most the
+        # in-flight dataset, and shards merge instead of clobbering
+        save_results(args.out_path, model_name, {ds_name: metrics}, args.verbose)
 
 
 if __name__ == "__main__":

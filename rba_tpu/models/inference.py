@@ -112,8 +112,21 @@ def panoptic_inference(
             rba_map = np.asarray(-jnp.tanh(sem).sum(0))
         ood_binary = (rba_map > ood_threshold).astype(np.uint8)
         structure = np.ones((3, 3), np.uint8)
-        ood_binary = ndimage.binary_opening(ood_binary, structure=structure).astype(np.uint8)
-        ood_binary = ndimage.binary_closing(ood_binary, structure=structure).astype(np.uint8)
+        # cv2.morphologyEx border semantics (maskformer_model.py:464-465):
+        # erosion treats outside pixels as 1 (border-touching regions
+        # survive), dilation as 0.  scipy's binary_opening defaults to
+        # border_value=0 for BOTH stages, which erodes away any unknown
+        # segment flush against the image edge — so the two stages are
+        # composed explicitly with cv2's per-stage border values
+        # (pinned against cv2 in tests/test_literal_semantics.py).
+        ood_binary = ndimage.binary_dilation(  # MORPH_OPEN = erode ∘ dilate
+            ndimage.binary_erosion(ood_binary, structure=structure, border_value=1),
+            structure=structure, border_value=0,
+        )
+        ood_binary = ndimage.binary_erosion(  # MORPH_CLOSE = dilate ∘ erode
+            ndimage.binary_dilation(ood_binary, structure=structure, border_value=0),
+            structure=structure, border_value=1,
+        ).astype(np.uint8)
         # 4-connectivity labeling (cv2 connectivity=4 equivalent)
         labels_im, num = ndimage.label(ood_binary, structure=np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
         for i in range(1, num + 1):

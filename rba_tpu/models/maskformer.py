@@ -156,6 +156,15 @@ def maskformer_forward(
             x = enc_feat
         elif in_feat == "pixel_embedding":
             x = mask_features
+        elif in_feat == "multi_scale_pixel_decoder":
+            # the v1 predictor consumes one feature map; the reference's
+            # head would likewise fail handing it the multi-scale list
+            # (mask_former_head.py:130-133)
+            raise ValueError(
+                "StandardTransformerDecoder requires a single-feature "
+                "TRANSFORMER_IN_FEATURE (res5 / transformer_encoder / "
+                "pixel_embedding), not multi_scale_pixel_decoder"
+            )
         else:
             x = features[in_feat]
         return standard_decoder_apply(

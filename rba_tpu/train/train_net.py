@@ -197,18 +197,27 @@ def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 
                 bseq += 1
             pos += len(idx)
 
+    class _WorkerError:
+        def __init__(self, exc):
+            self.exc = exc
+
     def worker():
         from ..data.mappers import collate
 
         wmapper = copy.copy(mapper)  # private rng slot; shares heavy state
         while True:
             bseq, pos0, ib = idx_q.get()
-            samples = []
-            for j, i in enumerate(ib):
-                s = ds[int(i)]
-                wmapper.rng = _random.Random(seed * 0x9E3779B1 + pos0 + j)
-                samples.append(wmapper(s.image, s.label))
-            out_q.put((bseq, collate(samples)))
+            # a raising worker must still deliver its sequence number, or
+            # the reorder buffer below waits on the missing batch forever
+            try:
+                samples = []
+                for j, i in enumerate(ib):
+                    s = ds[int(i)]
+                    wmapper.rng = _random.Random(seed * 0x9E3779B1 + pos0 + j)
+                    samples.append(wmapper(s.image, s.label))
+                out_q.put((bseq, collate(samples)))
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                out_q.put((bseq, _WorkerError(e)))
 
     threading.Thread(target=coordinator, daemon=True).start()
     for _ in range(max(workers, 1)):
@@ -219,7 +228,10 @@ def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 
         while want not in pending:
             bseq, batch = out_q.get()
             pending[bseq] = batch
-        yield pending.pop(want)
+        batch = pending.pop(want)
+        if isinstance(batch, _WorkerError):
+            raise batch.exc
+        yield batch
         want += 1
 
 

@@ -113,6 +113,24 @@ def test_sweep_cli_on_synthetic(tmp_path, monkeypatch):
         res = json.load(f)
     assert "synthetic" in res and "aupr" in res["synthetic"]
 
+    # save_results merges into the existing per-model dict (concurrent
+    # shards of one model must not clobber each other's datasets) ...
+    sweep.save_results(out, "tiny", {"other_ds": {"aupr": 1.0}}, False)
+    merged = sweep.load_results(out, "tiny")
+    assert set(merged) == {"synthetic", "other_ds"}
+    # ... and a re-run skips per finished (model, dataset) pair without
+    # touching the stored metrics
+    sweep.main(
+        [
+            "--models_folder", str(tmp_path / "models"),
+            "--datasets_folder", str(tmp_path / "nodata"),
+            "--dataset_mode", "selected",
+            "--selected_datasets", "synthetic",
+            "--out_path", out,
+        ]
+    )
+    assert sweep.load_results(out, "tiny") == merged
+
 
 def test_support_surface(rng):
     """support.py helper parity: score-fn variants, logistic, colormap,

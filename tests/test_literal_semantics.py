@@ -193,3 +193,43 @@ def test_color_aug_ssd_ops_vs_cv2_composite():
         # ±1 LSB everywhere: the bound cv2's own layout-dependent kernels
         # already exhibit against each other (see test_hsv_to_rgb_vs_cv2)
         assert d.max() <= 1, (sat_scale, hue_shift, d.max())
+
+
+def test_open_panoptic_morphology_matches_cv2():
+    """The open-panoptic OOD-mask cleanup must reproduce
+    cv2.morphologyEx(MORPH_OPEN) + (MORPH_CLOSE) exactly, INCLUDING the
+    border rule (cv2 erosion treats outside as 1, dilation as 0 — a
+    border-touching unknown segment must survive the opening; scipy's
+    binary_opening default border_value=0 erases it).  Reference:
+    maskformer_model.py:464-465."""
+    import cv2
+    from scipy import ndimage
+
+    st = np.ones((3, 3), np.uint8)
+
+    def ours(m):
+        o = ndimage.binary_dilation(
+            ndimage.binary_erosion(m, structure=st, border_value=1),
+            structure=st, border_value=0,
+        )
+        return ndimage.binary_erosion(
+            ndimage.binary_dilation(o, structure=st, border_value=0),
+            structure=st, border_value=1,
+        ).astype(np.uint8)
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        m = (rng.rand(24, 31) > 0.6).astype(np.uint8)
+        m[0, :5] = 1  # border-touching blob: the case scipy defaults break
+        m[-2:, -3:] = 1
+        want = cv2.morphologyEx(
+            cv2.morphologyEx(m, cv2.MORPH_OPEN, st), cv2.MORPH_CLOSE, st
+        )
+        np.testing.assert_array_equal(ours(m), want)
+
+    # the shallow border strip that motivated the fix: kept by cv2/ours,
+    # erased by scipy's default-border opening
+    m = np.zeros((16, 16), np.uint8)
+    m[:2, 4:12] = 1
+    assert ours(m).sum() > 0
+    assert ndimage.binary_opening(m, structure=st).sum() == 0

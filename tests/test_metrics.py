@@ -99,3 +99,31 @@ def test_streaming_respects_ignore(rng):
     a, b = m1.compute(), m2.compute()
     for k in a:
         np.testing.assert_allclose(a[k], b[k], atol=1e-9)
+
+
+def test_streaming_flush_preserves_counts(rng):
+    """The int32→int64 host-flush (overflow guard for multi-billion-pixel
+    sweeps) must be invisible to the metrics: forcing a flush after every
+    update gives identical results to no flush at all."""
+    from rba_tpu.evalx.metrics import StreamingOODMetrics
+
+    scores = rng.randn(6, 500).astype(np.float32)
+    labels = (rng.rand(6, 500) > 0.8).astype(np.int32)
+    labels[0, :50] = 255
+
+    a = StreamingOODMetrics(bins=4096, score_range=(-8, 8))
+    b = StreamingOODMetrics(bins=4096, score_range=(-8, 8))
+    b._flush_px = 1  # flush to the host int64 totals after every update
+    for s, l in zip(scores, labels):
+        a.update(jnp.asarray(s), l)
+        b.update(jnp.asarray(s), l)
+    ma, mb = a.compute(), b.compute()
+    for k in ma:
+        np.testing.assert_allclose(ma[k], mb[k], rtol=0, atol=0)
+
+
+def test_exact_metrics_all_ignore_returns_nan():
+    from rba_tpu.evalx.metrics import exact_ood_metrics
+
+    m = exact_ood_metrics(np.zeros(100, np.float32), np.full(100, 255, np.int32))
+    assert all(np.isnan(v) for v in m.values())

@@ -93,3 +93,20 @@ def test_prefetching_iterator_deterministic_across_worker_counts():
         np.testing.assert_array_equal(x["sem_seg"], y["sem_seg"])
     for x, y in zip(a, c):
         np.testing.assert_array_equal(x["images"], y["images"])
+
+
+def test_prefetching_iterator_propagates_worker_errors():
+    """A decode/map failure in a worker thread must surface as an exception
+    on the consumer, not hang the reorder buffer forever."""
+    import pytest
+
+    class _BadDS(_StubDS):
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("corrupt image")
+            return super().__getitem__(i)
+
+    it = prefetching_iterator(_BadDS(), _mapper, batch_size=4, seed=0, workers=2)
+    with pytest.raises(OSError, match="corrupt image"):
+        for _ in range(30):
+            next(it)
