@@ -283,6 +283,12 @@ class RbAConfig:
     loss: LossConfig = field(default_factory=LossConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     num_classes: int = 19
+    # DATASETS.TRAIN / DATASETS.TEST catalog names (reference D2 cfg; e.g.
+    # the map_coco recipes train on two concatenated datasets,
+    # ckpts/swin_b_1dl_rba_ood_map_coco/config.yaml:15-17).  The train CLI
+    # resolves these through rba_tpu/data/catalog.py.
+    datasets_train: Tuple[str, ...] = ("cityscapes_fine_sem_seg_train",)
+    datasets_test: Tuple[str, ...] = ("cityscapes_fine_sem_seg_val",)
     # compute dtype for backbone/decoder matmuls; score path stays fp32
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -365,6 +371,21 @@ _FEATURE_ALIASES = {"stage1": "res2", "stage2": "res3", "stage3": "res4", "stage
 
 def _features(names) -> Tuple[str, ...]:
     return tuple(_FEATURE_ALIASES.get(n, n) for n in names)
+
+
+def _strs(v) -> Tuple[str, ...]:
+    """String-sequence coercion for DATASETS.TRAIN/TEST: frozen ckpt configs
+    serialize a real YAML list, while the training corpus writes the CfgNode
+    python-tuple literal ``("cityscapes_fine_sem_seg_train",)`` which YAML
+    reads as a string."""
+    if isinstance(v, str):
+        if v.lstrip().startswith(("(", "[")):
+            import ast
+
+            v = ast.literal_eval(v)
+        else:
+            return (v,)
+    return tuple(str(x) for x in v)
 
 
 def _seq(v) -> Tuple[int, ...]:
@@ -596,9 +617,13 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         ),
     )
 
+    ds_raw = raw.get("DATASETS", {})
+
     cfg = RbAConfig(
         backbone_name=backbone,
         sem_seg_head_name=head.get("NAME", "MaskFormerHead"),
+        datasets_train=_strs(ds_raw.get("TRAIN", ("cityscapes_fine_sem_seg_train",))),
+        datasets_test=_strs(ds_raw.get("TEST", ("cityscapes_fine_sem_seg_val",))),
         swin=swin,
         resnet=resnet,
         pixel_decoder=pixel_decoder,

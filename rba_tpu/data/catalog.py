@@ -130,11 +130,20 @@ def street_hazards_metadata() -> Dict:
     }
 
 
+_STANDARD_ROOT: str | None = None
+
+
 def register_standard_datasets(root: str) -> None:
     """Register every catalog name the reference's registration modules
     provide, rooted at ``root`` (the 9 modules of
     /root/reference/mask2former/data/datasets/__init__.py plus the
-    cityscapes-partial and coco-mix aliases)."""
+    cityscapes-partial and coco-mix aliases).
+
+    Calling again with a different ``root`` re-points the standard names at
+    the new root (the reference re-reads $DETECTRON2_DATASETS at import, so
+    the root is process-ambient there; here it is an explicit argument).
+    User registrations via :func:`register` are never clobbered — only the
+    standard spec names are refreshed."""
     from .ood_datasets import (
         BDD100KSeg,
         CityscapesSemSeg,
@@ -261,6 +270,10 @@ def register_standard_datasets(root: str) -> None:
         "lost_and_found": (lambda: LostAndFound(os.path.join(root, "LostAndFound")), {}),
         "bdd100k_sem_seg_val": (lambda: BDD100KSeg(os.path.join(root, "bdd100k/seg")), {}),
     }
+    global _STANDARD_ROOT
+    refresh = _STANDARD_ROOT is not None and _STANDARD_ROOT != root
+    _STANDARD_ROOT = root
     for name, (factory, meta) in specs.items():
-        if name not in _REGISTRY:
-            register(name, factory, **meta)
+        if refresh or name not in _REGISTRY:
+            _REGISTRY[name] = factory
+            _METADATA[name] = meta

@@ -85,6 +85,28 @@ class OODDataset:
             yield self[i]
 
 
+class ConcatDataset(OODDataset):
+    """Concatenation of readers.  DATASETS.TRAIN lists several catalog names
+    and the reference trains on their union (D2 build_detection_train_loader
+    concatenates the DatasetCatalog entries; e.g. the map_coco recipes train
+    on [mapillary_cityscapes_sem_seg_train, cityscapes_fine_sem_seg_train],
+    ckpts/swin_b_1dl_rba_ood_map_coco/config.yaml:15-17)."""
+
+    name = "concat"
+
+    def __init__(self, parts):
+        super().__init__()
+        self.parts = list(parts)
+        self._offsets = np.cumsum([0] + [len(p) for p in self.parts])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, i: int) -> Sample:
+        j = int(np.searchsorted(self._offsets, i, side="right")) - 1
+        return self.parts[j][int(i) - int(self._offsets[j])]
+
+
 class RoadAnomaly(OODDataset):
     """frame_list.json + frames/<img> + frames/<img>.labels/labels_semantic.png;
     label 2 (ignore convention of the raw data) maps to anomaly=1."""

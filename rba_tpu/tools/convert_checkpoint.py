@@ -14,6 +14,9 @@ Usage:
     python -m rba_tpu.tools.convert_checkpoint timm-swin \
         --config ckpts/swin_b_1dl/config.yaml \
         --checkpoint swin_base_patch4_window12_384_22k.pth --out backbone.npz
+    python -m rba_tpu.tools.convert_checkpoint torchvision \
+        --config configs/cityscapes/semantic-segmentation/maskformer2_R50_bs16_90k.yaml \
+        --checkpoint resnet50-0676ba61.pth --out backbone.npz
 """
 from __future__ import annotations
 
@@ -54,7 +57,7 @@ def convert_timm_swin(sd: Dict[str, np.ndarray], cfg) -> Dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("mode", choices=["d2", "timm-swin"])
+    p.add_argument("mode", choices=["d2", "timm-swin", "torchvision"])
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", required=True)
@@ -69,6 +72,14 @@ def main(argv=None):
         from ..convert.d2_mapping import convert_d2_state_dict
 
         params = convert_d2_state_dict(sd, cfg)
+    elif args.mode == "torchvision":
+        # torchvision ResNet .pth → D2 names → native backbone tree (the
+        # reference performs the first hop offline with
+        # tools/convert-torchvision-to-d2.py and loads the result via
+        # DetectionCheckpointer)
+        from ..convert.d2_mapping import convert_resnet_backbone, torchvision_resnet_to_d2
+
+        params = convert_resnet_backbone(torchvision_resnet_to_d2(sd), cfg)
     else:
         params = convert_timm_swin(sd, cfg)
     save_params(args.out, params)

@@ -119,6 +119,10 @@ def write_d2_config(cfg, path: str) -> None:
             },
         },
         "DATALOADER": {"NUM_WORKERS": cfg.solver.num_workers},
+        "DATASETS": {
+            "TRAIN": list(cfg.datasets_train),
+            "TEST": list(cfg.datasets_test),
+        },
     }
     with open(path, "w") as f:
         yaml.safe_dump(d, f)

@@ -63,17 +63,30 @@ def parse_args(argv=None):
 
 
 def run_val_eval(cfg, params, data_root: str, max_images=None, tta: bool = False):
-    """Cityscapes-val mIoU with the current params (reference Trainer.test
-    via SemSegEvaluator, train_net.py:83-102; ``tta=True`` mirrors
-    Trainer.test_with_TTA, :378-379).  Returns None when no val split
-    exists under ``data_root``."""
+    """Val-split mIoU with the current params (reference Trainer.test via
+    SemSegEvaluator, train_net.py:83-102; ``tta=True`` mirrors
+    Trainer.test_with_TTA, :378-379).  The dataset comes from the first
+    resolvable cfg.datasets_test name (DATASETS.TEST — e.g. the map_coco
+    recipe evaluates on mapillary_cityscapes_sem_seg_val), falling back to
+    Cityscapes val under ``data_root``.  Returns None when no val data
+    exists."""
     from ..data.ood_datasets import CityscapesSemSeg
     from ..evalx.seg_evaluators import SemSegEvaluator
 
-    try:
-        ds = CityscapesSemSeg(data_root, split="val")
-    except FileNotFoundError:
-        return None
+    ds = None
+    for name in cfg.datasets_test or ():
+        try:
+            d = _resolve_dataset(name, data_root)
+            if len(d) > 0:
+                ds = d
+                break
+        except (KeyError, ValueError, OSError):
+            continue
+    if ds is None:
+        try:
+            ds = CityscapesSemSeg(data_root, split="val")
+        except FileNotFoundError:
+            return None
     if len(ds) == 0:
         return None
     params = jax.device_get(params)
@@ -235,14 +248,58 @@ def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 
         want += 1
 
 
-def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:
-    """Infinite shuffled iterator over Cityscapes train (see
-    ``prefetching_iterator``)."""
-    from ..data.ood_datasets import CityscapesSemSeg
+def _resolve_dataset(name: str, data_root: str):
+    """DATASETS.TRAIN/TEST catalog name → (image, label) reader.
 
-    ds = CityscapesSemSeg(args.data_root, split="train")
-    if len(ds) == 0:
-        raise FileNotFoundError(f"no cityscapes train data under {args.data_root}")
+    The reference resolves these names through D2's DatasetCatalog
+    (train_net.py:170-209 via build_detection_train_loader).  Here,
+    ``cityscapes_*`` names read --data-root directly (it points at the
+    cityscapes root, backward compatible); every other name goes through
+    ``data/catalog.py`` rooted at the PARENT of --data-root — the
+    reference's $DETECTRON2_DATASETS convention, under which
+    mapillary_vistas/, StreetHazards/ and coco/ are siblings of
+    cityscapes/.  Raises KeyError / ValueError / OSError when the name or
+    its data is unavailable."""
+    from ..data import catalog
+    from ..data.ood_datasets import CityscapesSemSeg, OODDataset
+
+    if name.startswith("cityscapes_"):
+        split = (
+            "train" if name.endswith(("_train", "_mix"))
+            else "val" if name.endswith("_val") else "test"
+        )
+        return CityscapesSemSeg(data_root, split)
+    root = os.path.dirname(os.path.abspath(data_root))
+    catalog.register_standard_datasets(root)
+    ds = catalog.get(name)
+    if not isinstance(ds, OODDataset):
+        raise ValueError(f"dataset {name!r} is not a semantic (image, label) reader")
+    return ds
+
+
+def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:
+    """Infinite shuffled iterator over the union of cfg.datasets_train
+    (DATASETS.TRAIN; the map_coco recipes list two datasets — see
+    ``ConcatDataset``), mapped + batched by ``prefetching_iterator``."""
+    from ..data.ood_datasets import ConcatDataset
+
+    parts, errors = [], []
+    for name in cfg.datasets_train or ("cityscapes_fine_sem_seg_train",):
+        try:
+            d = _resolve_dataset(name, args.data_root)
+            if len(d) == 0:
+                raise FileNotFoundError("no samples found")
+            parts.append(d)
+        except (KeyError, ValueError, OSError) as e:
+            errors.append(f"{name}: {e}")
+    if errors:
+        print(f"WARNING: skipped train dataset(s): {'; '.join(errors)}")
+    if not parts:
+        raise FileNotFoundError(
+            f"none of DATASETS.TRAIN {list(cfg.datasets_train)} found under "
+            f"{args.data_root} (or its parent datasets dir)"
+        )
+    ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
     mapper = build_mapper(cfg, args)
     return prefetching_iterator(
         ds, mapper, batch_size, args.seed,

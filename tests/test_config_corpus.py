@@ -36,6 +36,11 @@ def test_config_parses(path):
     if "INPUT" in raw and "MIN_SIZE_TRAIN" in raw["INPUT"]:
         mst = raw["INPUT"]["MIN_SIZE_TRAIN"]
         assert isinstance(mst, (list, tuple)) and len(mst) > 0
+    # DATASETS.TRAIN/TEST resolve to clean catalog names regardless of the
+    # serialization (tuple-repr string in training configs, YAML list in
+    # frozen ckpt configs) — never a leaked "('name',)" literal
+    for name in cfg.datasets_train + cfg.datasets_test:
+        assert name.replace("_", "").isalnum(), name
 
 
 def test_base_inheritance_values():

@@ -69,3 +69,38 @@ def test_resnet_converter_structure(rng):
     assert [np.shape(a) for a in jax.tree.leaves(p)] == [
         np.shape(a) for a in jax.tree.leaves(ref)
     ]
+
+
+def test_torchvision_cli_mode(tmp_path):
+    """`convert_checkpoint torchvision` end-to-end: torchvision-named .pth →
+    native backbone npz (reference tools/convert-torchvision-to-d2.py +
+    DetectionCheckpointer load, composed into one command)."""
+    from tests.torch_refs import TorchResNet
+
+    from rba_tpu.convert.checkpoint import load_params
+    from rba_tpu.models.resnet import resnet_init
+    from rba_tpu.tools.convert_checkpoint import main as convert_main
+
+    torch.manual_seed(1)
+    tm = TorchResNet(stage_blocks=(2, 2, 2, 2))
+    ckpt = tmp_path / "resnet18.pth"
+    torch.save(tm.state_dict(), str(ckpt))
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        "MODEL:\n"
+        "  BACKBONE: {NAME: build_resnet_backbone}\n"
+        "  RESNETS: {DEPTH: 18, STRIDE_IN_1X1: false}\n"
+    )
+    out = tmp_path / "backbone.npz"
+    convert_main([
+        "torchvision", "--config", str(cfg_path),
+        "--checkpoint", str(ckpt), "--out", str(out),
+    ])
+    p = load_params(str(out))
+    ref = resnet_init(jax.random.PRNGKey(0), ResNetConfig(depth=18))
+    assert jax.tree_util.tree_structure(jax.tree.map(np.asarray, p)) == \
+        jax.tree_util.tree_structure(ref)
+    np.testing.assert_allclose(
+        p["stem"]["conv1"]["kernel"],
+        tm.conv1.weight.detach().numpy().transpose(2, 3, 1, 0),
+    )

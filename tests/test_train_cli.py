@@ -125,3 +125,105 @@ def test_train_cli_end_to_end(tmp_path):
         "--eval-max-images", "1",
     ])
     assert "mIoU_TTA" in res and np.isfinite(res["mIoU_TTA"])
+
+
+# ---------------------------------------------------------------------------
+# DATASETS.TRAIN / DATASETS.TEST catalog resolution (reference resolves these
+# through D2's DatasetCatalog; the map_coco recipes train on TWO datasets,
+# ckpts/swin_b_1dl_rba_ood_map_coco/config.yaml:13-17)
+# ---------------------------------------------------------------------------
+
+def _make_mapillary_tree(root: str, n: int = 6, hw=(48, 80), split: str = "training"):
+    from rba_tpu.data.taxonomies import mapillary_to_cityscapes_lut
+
+    lut = mapillary_to_cityscapes_lut()
+    valid_ids = np.where(lut[:66] != 255)[0]
+    img_dir = os.path.join(root, split, "images")
+    lab_dir = os.path.join(root, split, "labels")
+    os.makedirs(img_dir)
+    os.makedirs(lab_dir)
+    rng = np.random.RandomState(7)
+    for i in range(n):
+        img = rng.randint(0, 255, (hw[0], hw[1], 3), np.uint8)
+        lab = rng.choice(valid_ids, hw).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(img_dir, f"m{i}.jpg"))
+        Image.fromarray(lab).save(os.path.join(lab_dir, f"m{i}.png"))
+
+
+def test_datasets_train_ingested_from_reference_yaml():
+    from rba_tpu.config import load_d2_config
+
+    path = "/root/reference/ckpts/swin_b_1dl_rba_ood_map_coco/config.yaml"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference snapshot not available")
+    cfg = load_d2_config(path)
+    assert cfg.datasets_train == (
+        "mapillary_cityscapes_sem_seg_train",
+        "cityscapes_fine_sem_seg_train",
+    )
+    assert cfg.datasets_test == ("mapillary_cityscapes_sem_seg_val",)
+
+
+def test_data_iterator_trains_on_datasets_train_union(tmp_path):
+    import argparse
+
+    from rba_tpu.train.train_net import _resolve_dataset, data_iterator
+
+    datasets = tmp_path / "datasets"
+    data_root = datasets / "cityscapes"
+    _make_cityscapes_tree(str(data_root))
+    _make_mapillary_tree(str(datasets / "mapillary_vistas"), n=6)
+    _make_mapillary_tree(str(datasets / "mapillary_vistas"), n=2, split="validation")
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        datasets_train=(
+            "mapillary_cityscapes_sem_seg_train",
+            "cityscapes_fine_sem_seg_train",
+            "not_a_registered_dataset",  # skipped with a warning
+        ),
+        datasets_test=("mapillary_cityscapes_sem_seg_val",),
+        input=dataclasses.replace(
+            cfg.input,
+            min_size_train=(32,),
+            max_size_train=128,
+            crop_size=(32, 64),
+            color_aug_ssd=False,
+        ),
+    )
+    args = argparse.Namespace(
+        data_root=str(data_root), coco_root=None, mapper=None, seed=0, workers=1
+    )
+
+    # the mapillary reader resolves via the catalog rooted at the PARENT of
+    # --data-root and applies the 66->19 cityscapes-taxonomy LUT
+    mapi = _resolve_dataset("mapillary_cityscapes_sem_seg_train", str(data_root))
+    assert len(mapi) == 6
+    s = mapi[0]
+    assert set(np.unique(s.label)) <= (set(range(19)) | {255})
+
+    # the validation split resolves too (run_val_eval's DATASETS.TEST path)
+    val = _resolve_dataset("mapillary_cityscapes_sem_seg_val", str(data_root))
+    assert len(val) == 2
+
+    it = data_iterator(cfg, args, batch_size=4)
+    batch = next(it)
+    assert batch["images"].shape == (4, 32, 64, 3)
+    assert batch["gt_masks"].shape[:2] == (4, batch["gt_labels"].shape[1])
+    assert set(np.unique(batch["sem_seg"])) <= (set(range(19)) | {255})
+
+
+def test_concat_dataset_indexing():
+    from rba_tpu.data.ood_datasets import ConcatDataset, SyntheticAnomaly
+
+    a = SyntheticAnomaly(n=3, hw=(16, 24), seed=0)
+    b = SyntheticAnomaly(n=2, hw=(16, 24), seed=1)
+    ds = ConcatDataset([a, b])
+    assert len(ds) == 5
+    assert np.array_equal(ds[0].image, a[0].image)
+    assert np.array_equal(ds[2].image, a[2].image)
+    assert np.array_equal(ds[3].image, b[0].image)
+    assert np.array_equal(ds[4].image, b[1].image)
