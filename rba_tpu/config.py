@@ -191,6 +191,11 @@ class InputConfig:
     repeat_instance_masks: int = 1
     coco_root: str = "coco/"  # INPUT.COCO_ROOT, relative to the datasets dir
     coco_proxy_size: int = 300  # INPUT.COCO_PROXY_SIZE
+    # COCO large-scale-jitter geometry (INPUT.IMAGE_SIZE/MIN_SCALE/MAX_SCALE,
+    # used by the coco_*_lsj mappers; Base-COCO-OpenPanopticSegmentation.yaml)
+    image_size: int = 1024
+    min_scale: float = 0.1
+    max_scale: float = 2.0
 
 
 @dataclass(frozen=True)
@@ -289,6 +294,10 @@ class RbAConfig:
     # resolves these through rba_tpu/data/catalog.py.
     datasets_train: Tuple[str, ...] = ("cityscapes_fine_sem_seg_train",)
     datasets_test: Tuple[str, ...] = ("cityscapes_fine_sem_seg_val",)
+    # DATASETS.UNSEEN_LABEL_SET: path (relative to the datasets dir) of a
+    # class-name list dropped from supervision in the open-world protocol
+    # (reference config.py:244, open_coco_mapper.py:120-126); "" disables
+    unseen_label_set: str = ""
     # compute dtype for backbone/decoder matmuls; score path stays fp32
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -551,6 +560,9 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         repeat_instance_masks=inp.get("REPEAT_INSTANCE_MASKS", 1),
         coco_root=inp.get("COCO_ROOT", "coco/"),
         coco_proxy_size=inp.get("COCO_PROXY_SIZE", 300),
+        image_size=inp.get("IMAGE_SIZE", 1024),
+        min_scale=inp.get("MIN_SCALE", 0.1),
+        max_scale=inp.get("MAX_SCALE", 2.0),
     )
 
     ood = OODConfig(
@@ -624,6 +636,7 @@ def load_d2_config(path: str, **overrides) -> RbAConfig:
         sem_seg_head_name=head.get("NAME", "MaskFormerHead"),
         datasets_train=_strs(ds_raw.get("TRAIN", ("cityscapes_fine_sem_seg_train",))),
         datasets_test=_strs(ds_raw.get("TEST", ("cityscapes_fine_sem_seg_val",))),
+        unseen_label_set=ds_raw.get("UNSEEN_LABEL_SET", ""),
         swin=swin,
         resnet=resnet,
         pixel_decoder=pixel_decoder,

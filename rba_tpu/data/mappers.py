@@ -425,6 +425,18 @@ class PanopticDatasetMapper(SemanticDatasetMapper):
             image = np.pad(image, ((0, ph), (0, pw), (0, 0)), constant_values=128)
             pan = np.pad(pan, ((0, ph), (0, pw)), constant_values=0)
 
+        return self._panoptic_example(image, pan, segments_info)
+
+    def _panoptic_example(self, image: np.ndarray, pan: np.ndarray,
+                          segments_info: List[Dict],
+                          skip_ignore_class: bool = False) -> Dict[str, np.ndarray]:
+        """Segments → padded (class, mask) targets.  Crowd segments are
+        skipped (mask_former_panoptic_dataset_mapper.py:147-151); the LSJ
+        variant additionally skips category_id 255
+        (coco_panoptic_new_baseline_dataset_mapper.py:144-148); classes in
+        ``unseen_label_set`` are dropped from supervision (the open-world
+        protocol, open_coco_mapper.py filter_unseen_class)."""
+        c = self.cfg
         t_max = c.max_instances
         gt_labels = np.zeros((t_max,), np.int32)
         gt_masks = np.zeros((t_max,) + pan.shape, np.float32)
@@ -433,10 +445,15 @@ class PanopticDatasetMapper(SemanticDatasetMapper):
         for seg in segments_info:
             if seg.get("iscrowd", 0):
                 continue
+            cls = int(seg["category_id"])
+            if skip_ignore_class and cls == c.ignore_label:
+                continue
+            if self.unseen and cls in self.unseen:
+                continue
             m = pan == seg["id"]
             if not m.any() or i >= t_max:
                 continue
-            gt_labels[i] = seg["category_id"]
+            gt_labels[i] = cls
             gt_masks[i] = m.astype(np.float32)
             gt_valid[i] = 1.0
             i += 1
@@ -522,6 +539,159 @@ def lsj_augment(rng: random.Random, image: np.ndarray, sem_seg: np.ndarray,
         img = np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=128)
         seg = np.pad(seg, ((0, ph), (0, pw)), constant_values=ignore_label)
     return np.ascontiguousarray(img), np.ascontiguousarray(seg.astype(np.int32))
+
+
+def _lsj_geometry(rng: random.Random, image: np.ndarray,
+                  resize_labels, pad_labels, flip_labels,
+                  image_size: int, min_scale: float, max_scale: float,
+                  flip: bool = True):
+    """The COCO large-scale-jitter geometry on an image plus arbitrary
+    pixel-aligned labels (reference coco_*_new_baseline build_transform_gen:
+    RandomFlip → ResizeScale(scale ∈ [min, max] of an image_size² canvas,
+    aspect preserved) → FixedSizeCrop(image_size²)).  The label arrays are
+    transformed through the three callbacks so id maps (int32, ids > 255)
+    and mask stacks can share the exact same crop/pad offsets.  Image pad
+    value 128 matches D2's FixedSizeCrop; label pad is up to ``pad_labels``
+    (the reference pads the panoptic RGB png with a constant that decodes
+    to a non-segment id)."""
+    if flip and rng.random() < 0.5:
+        image = image[:, ::-1]
+        flip_labels()
+    h, w = image.shape[:2]
+    scale = rng.uniform(min_scale, max_scale)
+    # D2 ResizeScale: output = min(image_size*scale/h, image_size*scale/w)
+    ratio = image_size * scale / max(h, w)
+    nh, nw = max(int(h * ratio + 0.5), 1), max(int(w * ratio + 0.5), 1)
+    image = np.asarray(Image.fromarray(np.ascontiguousarray(image)).resize((nw, nh), Image.BILINEAR))
+    resize_labels(nh, nw)
+    out = image_size
+    y = rng.randint(0, max(nh - out, 0)) if nh > out else 0
+    x = rng.randint(0, max(nw - out, 0)) if nw > out else 0
+    image = image[y : y + out, x : x + out]
+    ph, pw = out - min(nh - y, out), out - min(nw - x, out)
+    if ph or pw:
+        image = np.pad(image, ((0, ph), (0, pw), (0, 0)), constant_values=128)
+    pad_labels(y, x, out, ph, pw)
+    return np.ascontiguousarray(image)
+
+
+class PanopticLSJDatasetMapper(PanopticDatasetMapper):
+    """COCO panoptic large-scale-jitter training (reference
+    coco_panoptic_new_baseline_dataset_mapper.py, mapper name
+    ``coco_panoptic_lsj`` in train_net.py:201-203 — the open-panoptic
+    recipe's mapper, Base-COCO-OpenPanopticSegmentation.yaml INPUT)."""
+
+    def __init__(self, cfg: MapperConfig, seed: int = 0, image_size: int = 1024,
+                 min_scale: float = 0.1, max_scale: float = 2.0,
+                 unseen_label_set: Optional[Sequence[int]] = None):
+        super().__init__(cfg, seed=seed, unseen_label_set=unseen_label_set)
+        self.image_size = int(image_size)
+        self.min_scale = float(min_scale)
+        self.max_scale = float(max_scale)
+
+    def __call__(self, image: np.ndarray, pan_seg: np.ndarray,
+                 segments_info: List[Dict]) -> Dict[str, np.ndarray]:
+        state = {"pan": pan_seg.astype(np.int32)}
+
+        def flip_labels():
+            state["pan"] = state["pan"][:, ::-1]
+
+        def resize_labels(nh, nw):
+            state["pan"] = np.asarray(Image.fromarray(
+                np.ascontiguousarray(state["pan"]), mode="I").resize((nw, nh), Image.NEAREST))
+
+        def pad_labels(y, x, out, ph, pw):
+            pan = state["pan"][y : y + out, x : x + out]
+            if ph or pw:
+                # pad id 0: never a segment id (COCO unlabeled)
+                pan = np.pad(pan, ((0, ph), (0, pw)), constant_values=0)
+            state["pan"] = pan
+
+        image = _lsj_geometry(
+            self.rng, image, resize_labels, pad_labels, flip_labels,
+            self.image_size, self.min_scale, self.max_scale, flip=self.cfg.flip,
+        )
+        return self._panoptic_example(
+            image, np.ascontiguousarray(state["pan"]), segments_info,
+            skip_ignore_class=True,
+        )
+
+
+class InstanceLSJDatasetMapper(InstanceDatasetMapper):
+    """COCO instance large-scale-jitter training (reference
+    coco_instance_new_baseline_dataset_mapper.py, mapper name
+    ``coco_instance_lsj`` in train_net.py:197-199).  Input: image + binary
+    instance mask stack + classes."""
+
+    def __init__(self, cfg: MapperConfig, seed: int = 0, image_size: int = 1024,
+                 min_scale: float = 0.1, max_scale: float = 2.0):
+        super().__init__(cfg, seed=seed)
+        self.image_size = int(image_size)
+        self.min_scale = float(min_scale)
+        self.max_scale = float(max_scale)
+
+    def __call__(self, image: np.ndarray, masks: np.ndarray,
+                 classes: np.ndarray) -> Dict[str, np.ndarray]:
+        state = {"masks": np.asarray(masks, np.uint8)}
+
+        def flip_labels():
+            state["masks"] = state["masks"][:, :, ::-1]
+
+        def resize_labels(nh, nw):
+            m = state["masks"]
+            state["masks"] = np.stack([
+                np.asarray(Image.fromarray(np.ascontiguousarray(x)).resize((nw, nh), Image.NEAREST))
+                for x in m
+            ]) if len(m) else np.zeros((0, nh, nw), np.uint8)
+
+        def pad_labels(y, x, out, ph, pw):
+            m = state["masks"][:, y : y + out, x : x + out]
+            if ph or pw:
+                m = np.pad(m, ((0, 0), (0, ph), (0, pw)))
+            state["masks"] = m
+
+        image = _lsj_geometry(
+            self.rng, image, resize_labels, pad_labels, flip_labels,
+            self.image_size, self.min_scale, self.max_scale, flip=self.cfg.flip,
+        )
+
+        c = self.cfg
+        t_max = c.max_instances
+        gt_labels = np.zeros((t_max,), np.int32)
+        gt_masks = np.zeros((t_max, self.image_size, self.image_size), np.float32)
+        gt_valid = np.zeros((t_max,), np.float32)
+        i = 0
+        for m, cls in zip(state["masks"], classes):
+            # empty-after-crop instances are dropped (reference
+            # utils.filter_empty_instances in the LSJ mapper)
+            if not m.any() or i >= t_max:
+                continue
+            gt_labels[i] = cls
+            gt_masks[i] = m.astype(np.float32)
+            gt_valid[i] = 1.0
+            i += 1
+        return {
+            "images": image.astype(np.float32),
+            "gt_labels": gt_labels,
+            "gt_masks": gt_masks,
+            "gt_valid": gt_valid,
+        }
+
+
+def load_unseen_label_set(path: str, class_names: Sequence[str]) -> List[int]:
+    """DATASETS.UNSEEN_LABEL_SET file → contiguous class indices.  The file
+    lists one class NAME per line, resolved against the dataset's class-name
+    list (reference open_coco_mapper.py:120-126 _get_unseen_label_set);
+    integer lines are taken as indices directly."""
+    idx = {n: i for i, n in enumerate(class_names)}
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            out.append(int(line) if line.lstrip("-").isdigit() else idx[line])
+    return out
 
 
 # ---------------------------------------------------------------------------

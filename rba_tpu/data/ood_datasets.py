@@ -546,6 +546,46 @@ class PanopticDataset:
             yield self[i]
 
 
+class InstanceFromPanoptic:
+    """Instance-training view over panoptic ground truth: each non-crowd
+    (thing) segment becomes one binary mask + class.  Yields the
+    (image, masks (N,H,W) uint8, classes (N,) int32) tuples the instance
+    mappers consume — the D2-side equivalent is instances loaded from COCO
+    annotations (reference coco_instance_new_baseline_dataset_mapper.py);
+    deriving them from the panoptic id maps avoids a second annotation
+    format on disk."""
+
+    name = "instance_from_panoptic"
+
+    def __init__(self, panoptic: "PanopticDataset", thing_ids=None):
+        self.panoptic = panoptic
+        self.thing_ids = set(int(c) for c in thing_ids) if thing_ids is not None else None
+
+    def __len__(self):
+        return len(self.panoptic)
+
+    def __getitem__(self, i):
+        image, pan, segments = self.panoptic[i]
+        masks, classes = [], []
+        for seg in segments:
+            if seg.get("iscrowd", 0):
+                continue
+            cls = int(seg["category_id"])
+            if self.thing_ids is not None and cls not in self.thing_ids:
+                continue
+            m = (pan == seg["id"]).astype(np.uint8)
+            if m.any():
+                masks.append(m)
+                classes.append(cls)
+        h, w = pan.shape
+        masks = np.stack(masks) if masks else np.zeros((0, h, w), np.uint8)
+        return image, masks, np.asarray(classes, np.int32)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 class SemSegFolder(OODDataset):
     """Generic (image dir, label dir) pairing by shared file stem — the
     equivalent of detectron2's load_sem_seg as used by the reference's

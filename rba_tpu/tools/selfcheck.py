@@ -108,6 +108,9 @@ def write_d2_config(cfg, path: str) -> None:
             "REPEAT_INSTANCE_MASKS": cfg.input.repeat_instance_masks,
             "COCO_ROOT": cfg.input.coco_root,
             "COCO_PROXY_SIZE": cfg.input.coco_proxy_size,
+            "IMAGE_SIZE": cfg.input.image_size,
+            "MIN_SCALE": cfg.input.min_scale,
+            "MAX_SCALE": cfg.input.max_scale,
         },
         "TEST": {
             "EVAL_PERIOD": cfg.test.eval_period,
@@ -122,6 +125,7 @@ def write_d2_config(cfg, path: str) -> None:
         "DATASETS": {
             "TRAIN": list(cfg.datasets_train),
             "TEST": list(cfg.datasets_test),
+            "UNSEEN_LABEL_SET": cfg.unseen_label_set,
         },
     }
     with open(path, "w") as f:

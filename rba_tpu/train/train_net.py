@@ -63,22 +63,23 @@ def parse_args(argv=None):
 
 
 def run_val_eval(cfg, params, data_root: str, max_images=None, tta: bool = False):
-    """Val-split mIoU with the current params (reference Trainer.test via
-    SemSegEvaluator, train_net.py:83-102; ``tta=True`` mirrors
+    """Val-split metrics with the current params (reference Trainer.test,
+    train_net.py:83-168 evaluator factory; ``tta=True`` mirrors
     Trainer.test_with_TTA, :378-379).  The dataset comes from the first
     resolvable cfg.datasets_test name (DATASETS.TEST — e.g. the map_coco
     recipe evaluates on mapillary_cityscapes_sem_seg_val), falling back to
-    Cityscapes val under ``data_root``.  Returns None when no val data
-    exists."""
-    from ..data.ood_datasets import CityscapesSemSeg
+    Cityscapes val under ``data_root``; a panoptic test set (e.g.
+    coco_2017_val_panoptic_open) routes to the PQ evaluator instead of
+    mIoU.  Returns None when no val data exists."""
+    from ..data.ood_datasets import CityscapesSemSeg, PanopticDataset
     from ..evalx.seg_evaluators import SemSegEvaluator
 
-    ds = None
+    ds, ds_name = None, None
     for name in cfg.datasets_test or ():
         try:
-            d = _resolve_dataset(name, data_root)
+            d = _resolve_dataset(name, data_root, semantic_only=False)
             if len(d) > 0:
-                ds = d
+                ds, ds_name = d, name
                 break
         except (KeyError, ValueError, OSError):
             continue
@@ -90,6 +91,8 @@ def run_val_eval(cfg, params, data_root: str, max_images=None, tta: bool = False
     if len(ds) == 0:
         return None
     params = jax.device_get(params)
+    if isinstance(ds, PanopticDataset):
+        return _run_panoptic_val_eval(cfg, params, ds, ds_name, max_images)
     ev = SemSegEvaluator(cfg, params)
     n = len(ds) if not max_images else min(int(max_images), len(ds))
     if tta:
@@ -114,12 +117,51 @@ def run_val_eval(cfg, params, data_root: str, max_images=None, tta: bool = False
     return out
 
 
+def _run_panoptic_val_eval(cfg, params, ds, ds_name, max_images=None):
+    """PQ on a panoptic DATASETS.TEST split (reference Trainer.build_evaluator
+    routes evaluator_type coco_panoptic_seg to COCOPanopticOpenEvaluator,
+    train_net.py:103-131).  Thing ids come from the catalog metadata's
+    contiguous thing map."""
+    from ..data import catalog
+    from ..evalx.seg_evaluators import OpenPanopticEvaluator
+
+    thing_ids = None
+    if ds_name is not None:
+        try:
+            meta = catalog.metadata(ds_name)
+            m = meta.get("thing_dataset_id_to_contiguous_id")
+            if m:
+                thing_ids = tuple(sorted(m.values()))
+        except KeyError:
+            pass
+    ev = (OpenPanopticEvaluator(cfg, params, thing_ids=thing_ids)
+          if thing_ids is not None else OpenPanopticEvaluator(cfg, params))
+    n = len(ds) if not max_images else min(int(max_images), len(ds))
+    for i in range(n):
+        image, pan_gt, segments_gt = ds[i]
+        ev.process(image, pan_gt, segments_gt)
+    out = {}
+    for split, stats in ev.evaluate().items():
+        if isinstance(stats, dict):
+            for k, v in stats.items():
+                if isinstance(v, (int, float)):
+                    out[f"{split}_{k}"] = float(v)
+        elif isinstance(stats, (int, float)):
+            out[split] = float(stats)
+    out["eval_images"] = n
+    return out
+
+
 def build_mapper(cfg, args):
     """Mapper dispatch by INPUT.DATASET_MAPPER_NAME (reference
     train_net.py:170-209), overridable with --mapper."""
     from ..data.mappers import (
         COCOProxyDataset,
+        InstanceDatasetMapper,
+        InstanceLSJDatasetMapper,
         MapperConfig,
+        PanopticDatasetMapper,
+        PanopticLSJDatasetMapper,
         SemanticCocoMixDatasetMapper,
         SemanticDatasetMapper,
         SemanticVoidDatasetMapper,
@@ -173,7 +215,62 @@ def build_mapper(cfg, args):
         return StreetHazardsMapper(mcfg, seed=args.seed)
     if mapper_name == "mask_former_semantic_street_hazards_coco_mix":
         return StreetHazardsCocoMixMapper(mcfg, coco(), ood_prob=cfg.ood.ood_prob, seed=args.seed)
+    # panoptic / instance mappers (reference train_net.py:188-207); the
+    # panoptic variants consume (image, pan_id_map, segments_info) tuples
+    # from PanopticDataset readers, the instance variants (image, masks,
+    # classes)
+    if mapper_name in ("mask_former_panoptic", "open_panoptic_coco_mapper"):
+        return PanopticDatasetMapper(
+            mcfg, seed=args.seed,
+            unseen_label_set=_unseen_label_set(cfg, args)
+            if mapper_name == "open_panoptic_coco_mapper" else None,
+        )
+    if mapper_name == "mask_former_instance":
+        return InstanceDatasetMapper(mcfg, seed=args.seed)
+    if mapper_name == "coco_panoptic_lsj":
+        return PanopticLSJDatasetMapper(
+            mcfg, seed=args.seed, image_size=cfg.input.image_size,
+            min_scale=cfg.input.min_scale, max_scale=cfg.input.max_scale,
+            unseen_label_set=_unseen_label_set(cfg, args),
+        )
+    if mapper_name == "coco_instance_lsj":
+        return InstanceLSJDatasetMapper(
+            mcfg, seed=args.seed, image_size=cfg.input.image_size,
+            min_scale=cfg.input.min_scale, max_scale=cfg.input.max_scale,
+        )
     return SemanticDatasetMapper(mcfg, seed=args.seed)
+
+
+def _unseen_label_set(cfg, args):
+    """Resolve DATASETS.UNSEEN_LABEL_SET (a class-name list, relative to the
+    datasets dir) to contiguous class indices against the train dataset's
+    metadata (reference open_coco_mapper.py:100-126).  Returns None when the
+    config leaves it empty or the file is absent (the reference ships the
+    unknown_K* lists with the datasets, not the code)."""
+    from ..data import catalog
+    from ..data.mappers import load_unseen_label_set
+
+    path = cfg.unseen_label_set
+    if not path:
+        return None
+    if not os.path.isabs(path):
+        path = os.path.join(os.path.dirname(os.path.abspath(args.data_root)), path)
+    if not os.path.isfile(path):
+        print(f"WARNING: DATASETS.UNSEEN_LABEL_SET {path!r} not found; "
+              "training with full supervision")
+        return None
+    catalog.register_standard_datasets(os.path.dirname(os.path.abspath(args.data_root)))
+    # thing_classes of DATASETS.TRAIN[0] (open_coco_mapper.py:107-108)
+    names: list = []
+    for name in cfg.datasets_train:
+        try:
+            meta = catalog.metadata(name)
+        except KeyError:
+            continue
+        names = list(meta.get("thing_classes", [])) or names
+        if names:
+            break
+    return load_unseen_label_set(path, names)
 
 
 def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 4):
@@ -196,6 +293,13 @@ def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 
     import copy
     import random as _random
 
+    if len(ds) < batch_size:
+        # the per-epoch loop below yields only full batches; a smaller
+        # dataset would block the consumer forever
+        raise ValueError(
+            f"dataset has {len(ds)} samples < batch size {batch_size} "
+            "(the loader drops partial batches)"
+        )
     idx_q: queue.Queue = queue.Queue(maxsize=2 * max(workers, 1))
     out_q: queue.Queue = queue.Queue(maxsize=4 + max(workers, 1))
 
@@ -227,7 +331,11 @@ def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 
                 for j, i in enumerate(ib):
                     s = ds[int(i)]
                     wmapper.rng = _random.Random(seed * 0x9E3779B1 + pos0 + j)
-                    samples.append(wmapper(s.image, s.label))
+                    # panoptic/instance readers yield raw tuples matching
+                    # their mapper's signature; semantic readers a Sample
+                    samples.append(
+                        wmapper(*s) if isinstance(s, tuple) else wmapper(s.image, s.label)
+                    )
                 out_q.put((bseq, collate(samples)))
             except BaseException as e:  # noqa: BLE001 — relayed to consumer
                 out_q.put((bseq, _WorkerError(e)))
@@ -248,8 +356,8 @@ def prefetching_iterator(ds, mapper, batch_size: int, seed: int, workers: int = 
         want += 1
 
 
-def _resolve_dataset(name: str, data_root: str):
-    """DATASETS.TRAIN/TEST catalog name → (image, label) reader.
+def _resolve_dataset(name: str, data_root: str, semantic_only: bool = True):
+    """DATASETS.TRAIN/TEST catalog name → dataset reader.
 
     The reference resolves these names through D2's DatasetCatalog
     (train_net.py:170-209 via build_detection_train_loader).  Here,
@@ -258,10 +366,12 @@ def _resolve_dataset(name: str, data_root: str):
     ``data/catalog.py`` rooted at the PARENT of --data-root — the
     reference's $DETECTRON2_DATASETS convention, under which
     mapillary_vistas/, StreetHazards/ and coco/ are siblings of
-    cityscapes/.  Raises KeyError / ValueError / OSError when the name or
-    its data is unavailable."""
+    cityscapes/.  With ``semantic_only`` (the val-eval path) only (image,
+    label) readers are accepted; the panoptic/instance mappers take the raw
+    tuple readers (e.g. PanopticDataset).  Raises KeyError / ValueError /
+    OSError when the name or its data is unavailable."""
     from ..data import catalog
-    from ..data.ood_datasets import CityscapesSemSeg, OODDataset
+    from ..data.ood_datasets import CityscapesSemSeg, OODDataset, PanopticDataset
 
     if name.startswith("cityscapes_"):
         split = (
@@ -272,9 +382,33 @@ def _resolve_dataset(name: str, data_root: str):
     root = os.path.dirname(os.path.abspath(data_root))
     catalog.register_standard_datasets(root)
     ds = catalog.get(name)
-    if not isinstance(ds, OODDataset):
+    if semantic_only and not isinstance(ds, OODDataset):
         raise ValueError(f"dataset {name!r} is not a semantic (image, label) reader")
+    if not semantic_only and not isinstance(ds, (OODDataset, PanopticDataset)):
+        raise ValueError(f"dataset {name!r} is not a training reader")
     return ds
+
+
+def _instance_view(ds, name: str):
+    """Instance-mapper data path: panoptic ground truth → per-segment
+    (image, masks, classes) tuples, keeping only thing classes per the
+    catalog metadata (the reference loads instances from COCO annotations;
+    see InstanceFromPanoptic)."""
+    from ..data import catalog
+    from ..data.ood_datasets import InstanceFromPanoptic, PanopticDataset
+
+    if not isinstance(ds, PanopticDataset):
+        raise ValueError(
+            f"dataset {name!r} has no instance annotations (need panoptic gt)"
+        )
+    thing_ids = None
+    try:
+        m = catalog.metadata(name).get("thing_dataset_id_to_contiguous_id")
+        if m:
+            thing_ids = sorted(m.values())
+    except KeyError:
+        pass
+    return InstanceFromPanoptic(ds, thing_ids)
 
 
 def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:
@@ -283,10 +417,16 @@ def data_iterator(cfg, args, batch_size: int) -> Iterator[dict]:
     ``ConcatDataset``), mapped + batched by ``prefetching_iterator``."""
     from ..data.ood_datasets import ConcatDataset
 
+    mapper_name = args.mapper or cfg.input.dataset_mapper_name
+    semantic_only = not (
+        "panoptic" in mapper_name or "instance" in mapper_name
+    )
     parts, errors = [], []
     for name in cfg.datasets_train or ("cityscapes_fine_sem_seg_train",):
         try:
-            d = _resolve_dataset(name, args.data_root)
+            d = _resolve_dataset(name, args.data_root, semantic_only)
+            if "instance" in mapper_name:
+                d = _instance_view(d, name)
             if len(d) == 0:
                 raise FileNotFoundError("no samples found")
             parts.append(d)
@@ -377,7 +517,8 @@ def main(argv=None):
                 f.write(json.dumps(m) + "\n")
             if wandb_run is not None:
                 wandb_run.log(m, step=i + 1)
-        if (i + 1) % args.checkpoint_period == 0 or (i + 1) == max_iter:
+        if (args.checkpoint_period > 0 and (i + 1) % args.checkpoint_period == 0) \
+                or (i + 1) == max_iter:
             save_train_state(ckpt_dir, state, i + 1)
             print(f"saved checkpoint at step {i + 1}")
         eval_period = cfg.test.eval_period if args.eval_period is None else args.eval_period

@@ -72,3 +72,75 @@ def test_catalog(tmp_path):
     assert "toy_ds" in catalog.registered()
     catalog.register_standard_datasets(str(tmp_path))  # registers names only
     assert "cityscapes_fine_sem_seg_val" in catalog.registered()
+
+def test_panoptic_lsj_mapper(rng):
+    from rba_tpu.data.mappers import PanopticLSJDatasetMapper
+
+    cfg = MapperConfig(max_instances=8, color_aug=False)
+    m = PanopticLSJDatasetMapper(cfg, seed=0, image_size=128)
+    img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    pan = np.zeros((200, 300), np.int32)
+    pan[:, :150] = 70001  # ids beyond uint8 must survive the resize
+    pan[:, 150:] = 2002
+    segs = [
+        {"id": 70001, "category_id": 3},
+        {"id": 2002, "category_id": 12},
+        {"id": 2002, "category_id": 255},  # LSJ skips the ignore class
+        {"id": 70001, "category_id": 5, "iscrowd": 1},  # crowd skipped
+    ]
+    out = m(img, pan, segs)
+    assert out["images"].shape == (128, 128, 3)
+    assert out["gt_masks"].shape == (8, 128, 128)
+    n = int(out["gt_valid"].sum())
+    assert set(out["gt_labels"][:n].tolist()) <= {3, 12} and 1 <= n <= 2
+    # padded area (pan id 0) belongs to no target mask
+    assert (out["gt_masks"][:n].sum(0) <= 1.0).all()
+
+    # scale range is honored: with min=max=1.0 the long side fills the canvas
+    m1 = PanopticLSJDatasetMapper(cfg, seed=1, image_size=128,
+                                  min_scale=1.0, max_scale=1.0)
+    out1 = m1(img, pan, segs[:2])
+    assert out1["images"].shape == (128, 128, 3)
+    n1 = int(out1["gt_valid"].sum())
+    # aspect preserved: 200x300 -> 85x128, rows >=86 are padding
+    assert out1["gt_masks"][:n1, 86:, :].sum() == 0
+
+
+def test_panoptic_unseen_filter(rng):
+    cfg = MapperConfig(min_sizes=(128,), crop_hw=(96, 128), max_instances=8,
+                       color_aug=False)
+    m = PanopticDatasetMapper(cfg, seed=0, unseen_label_set=[12])
+    img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    pan = np.zeros((200, 300), np.int32)
+    pan[:, :150] = 1001
+    pan[:, 150:] = 2002
+    segs = [{"id": 1001, "category_id": 3}, {"id": 2002, "category_id": 12}]
+    out = m(img, pan, segs)
+    n = int(out["gt_valid"].sum())
+    assert n == 1 and out["gt_labels"][0] == 3
+
+
+def test_instance_lsj_mapper(rng):
+    from rba_tpu.data.mappers import InstanceLSJDatasetMapper
+
+    cfg = MapperConfig(max_instances=4, color_aug=False)
+    m = InstanceLSJDatasetMapper(cfg, seed=3, image_size=128,
+                                 min_scale=0.8, max_scale=1.2)
+    img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    masks = np.zeros((2, 200, 300), np.uint8)
+    masks[0, 20:180, 20:280] = 1
+    masks[1, 90:110, 140:160] = 1
+    out = m(img, masks, np.array([4, 7]))
+    assert out["images"].shape == (128, 128, 3)
+    assert out["gt_masks"].shape == (4, 128, 128)
+    n = int(out["gt_valid"].sum())
+    assert n >= 1 and out["gt_labels"][0] in (4, 7)
+
+
+def test_load_unseen_label_set(tmp_path):
+    from rba_tpu.data.mappers import load_unseen_label_set
+
+    p = tmp_path / "unknown.txt"
+    p.write_text("car\nbanana\n7\n")
+    ids = load_unseen_label_set(str(p), ["person", "car", "dog", "banana"])
+    assert ids == [1, 3, 7]
