@@ -51,16 +51,32 @@ def coco_panoptic_metadata(open_panoptic: bool = False) -> Dict:
     unknown = set(OPEN_PANOPTIC_UNKNOWN_CLASSES) if open_panoptic else set()
     cats = COCO_PANOPTIC_CATEGORIES
     thing = [(n, c) for _, isth, n, c in cats if isth == 1 and n not in unknown]
+    if open_panoptic:
+        # running contiguous index over KEPT classes; unknown things → 255
+        # (register_coco_open_panoptic.py:77-94)
+        thing_map, stuff_map = {}, {}
+        index = 0
+        for i, isth, n, _ in cats:
+            if isth == 1 and n in unknown:
+                thing_map[i] = 255
+            elif isth == 1:
+                thing_map[i] = index
+                index += 1
+            else:
+                stuff_map[i] = index
+                index += 1
+    else:
+        # full-list positions for both maps
+        # (register_coco_panoptic_annos_semseg.py:57-70)
+        thing_map = {i: idx for idx, (i, isth, _, _) in enumerate(cats) if isth == 1}
+        stuff_map = {i: idx for idx, (i, _, _, _) in enumerate(cats)}
     meta = {
         "thing_classes": [n for n, _ in thing],
         "thing_colors": [list(c) for _, c in thing],
         "stuff_classes": [n for _, _, n, _ in cats],
         "stuff_colors": [list(c) for _, _, _, c in cats],
-        "thing_dataset_id_to_contiguous_id": {
-            i: idx for idx, (i, isth, n, _) in enumerate(cats)
-            if isth == 1 and n not in unknown
-        },
-        "stuff_dataset_id_to_contiguous_id": {i: idx for idx, (i, _, _, _) in enumerate(cats)},
+        "thing_dataset_id_to_contiguous_id": thing_map,
+        "stuff_dataset_id_to_contiguous_id": stuff_map,
         "ignore_label": 255,
         "label_divisor": 1000,
     }
@@ -131,6 +147,7 @@ def street_hazards_metadata() -> Dict:
 
 
 _STANDARD_ROOT: str | None = None
+_STANDARD_OWNED: set = set()
 
 
 def register_standard_datasets(root: str) -> None:
@@ -173,11 +190,24 @@ def register_standard_datasets(root: str) -> None:
     def cs_split(split):
         return lambda: CityscapesSemSeg(cs, split)
 
-    def coco_panoptic(split, meta):
+    def panoptic_reader(image_root, pan_root, json_path, meta):
+        # raw json category ids → contiguous training ids, as the reference
+        # does at registration (_convert_category_id); thing map wins on
+        # overlap, matching its thing-first membership test
+        cmap = {**meta["stuff_dataset_id_to_contiguous_id"],
+                **meta["thing_dataset_id_to_contiguous_id"]}
+        things = set(meta["thing_dataset_id_to_contiguous_id"])
         return lambda: PanopticDataset(
+            image_root, pan_root, json_path,
+            category_map=cmap, thing_dataset_ids=things,
+        )
+
+    def coco_panoptic(split, meta):
+        return panoptic_reader(
             os.path.join(coco, f"{split}2017"),
             os.path.join(coco, f"panoptic_{split}2017"),
             os.path.join(coco, f"annotations/panoptic_{split}2017.json"),
+            meta,
         )
 
     pan_meta = coco_panoptic_metadata()
@@ -207,16 +237,18 @@ def register_standard_datasets(root: str) -> None:
             lambda: SemSegFolder(os.path.join(mapi, "validation/images"),
                                  os.path.join(mapi, "validation/labels")), mapi_meta),
         "mapillary_vistas_panoptic_train": (
-            lambda: PanopticDataset(
+            panoptic_reader(
                 os.path.join(mapi, "training/images"),
                 os.path.join(mapi, "training/panoptic"),
-                os.path.join(mapi, "training/panoptic/panoptic_2018.json")),
+                os.path.join(mapi, "training/panoptic/panoptic_2018.json"),
+                mapillary_panoptic_metadata()),
             mapillary_panoptic_metadata()),
         "mapillary_vistas_panoptic_val": (
-            lambda: PanopticDataset(
+            panoptic_reader(
                 os.path.join(mapi, "validation/images"),
                 os.path.join(mapi, "validation/panoptic"),
-                os.path.join(mapi, "validation/panoptic/panoptic_2018.json")),
+                os.path.join(mapi, "validation/panoptic/panoptic_2018.json"),
+                mapillary_panoptic_metadata()),
             mapillary_panoptic_metadata()),
         "mapillary_cityscapes_sem_seg_train": (
             lambda: MapillarySemSeg(mapi, "train"), cs_meta),
@@ -274,6 +306,12 @@ def register_standard_datasets(root: str) -> None:
     refresh = _STANDARD_ROOT is not None and _STANDARD_ROOT != root
     _STANDARD_ROOT = root
     for name, (factory, meta) in specs.items():
-        if refresh or name not in _REGISTRY:
+        if name not in _REGISTRY:
+            _REGISTRY[name] = factory
+            _METADATA[name] = meta
+            _STANDARD_OWNED.add(name)
+        elif refresh and name in _STANDARD_OWNED:
+            # re-point only names this function itself registered — a user
+            # register() of a standard name is never clobbered
             _REGISTRY[name] = factory
             _METADATA[name] = meta

@@ -413,6 +413,10 @@ class PanopticDatasetMapper(SemanticDatasetMapper):
             Image.fromarray(pan_seg.astype(np.int32), mode="I").resize((nw, nh), Image.NEAREST)
         )
         image, pan = random_crop(self.rng, image, pan, c.crop_hw, 1.0, 0)
+        # the reference panoptic mapper reuses the semantic aug list incl.
+        # ColorAugSSD (mask_former_panoptic_dataset_mapper.py from_config)
+        if c.color_aug:
+            image = color_aug_ssd(self.rng, image)
         if c.flip and self.rng.random() < 0.5:
             image = image[:, ::-1]
             pan = pan[:, ::-1]
@@ -488,6 +492,10 @@ class InstanceDatasetMapper(SemanticDatasetMapper):
         ch, cw = min(c.crop_hw[0], nh), min(c.crop_hw[1], nw)
         image = image[y : y + ch, x : x + cw]
         masks = masks[:, y : y + ch, x : x + cw]
+        # ColorAugSSD between crop and flip, as in the reference instance
+        # mapper's aug list (mask_former_instance_dataset_mapper.py:61-77)
+        if c.color_aug:
+            image = color_aug_ssd(self.rng, np.ascontiguousarray(image))
         if c.flip and self.rng.random() < 0.5:
             image = image[:, ::-1]
             masks = masks[:, :, ::-1]
@@ -682,15 +690,25 @@ def load_unseen_label_set(path: str, class_names: Sequence[str]) -> List[int]:
     """DATASETS.UNSEEN_LABEL_SET file → contiguous class indices.  The file
     lists one class NAME per line, resolved against the dataset's class-name
     list (reference open_coco_mapper.py:120-126 _get_unseen_label_set);
-    integer lines are taken as indices directly."""
+    integer lines are taken as indices directly.  Names absent from
+    ``class_names`` are skipped with a warning rather than raising — the
+    shipped unknown_K*.txt lists are wider than some metadata variants
+    (e.g. the open metadata's thing_classes already excludes the unknowns)."""
     idx = {n: i for i, n in enumerate(class_names)}
-    out = []
+    out, missing = [], []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
-            out.append(int(line) if line.lstrip("-").isdigit() else idx[line])
+            if line.lstrip("-").isdigit():
+                out.append(int(line))
+            elif line in idx:
+                out.append(idx[line])
+            else:
+                missing.append(line)
+    if missing:
+        print(f"WARNING: unseen-label names not in class list (skipped): {missing}")
     return out
 
 

@@ -513,9 +513,19 @@ class PanopticDataset:
 
     name = "panoptic"
 
-    def __init__(self, image_root: str, panoptic_root: str, json_path: str):
+    def __init__(self, image_root: str, panoptic_root: str, json_path: str,
+                 category_map=None, thing_dataset_ids=None):
+        """``category_map`` converts raw dataset category ids to contiguous
+        training ids per segment (the reference applies _convert_category_id
+        at registration, register_coco_open_panoptic.py:110-121, marking
+        ``isthing`` from the thing map); ``thing_dataset_ids`` is the raw-id
+        set of thing classes."""
         import json as _json
 
+        self.category_map = dict(category_map) if category_map else None
+        self.thing_dataset_ids = (
+            set(int(i) for i in thing_dataset_ids) if thing_dataset_ids else set()
+        )
         with open(json_path) as f:
             meta = _json.load(f)
         images = {im["id"]: im["file_name"] for im in meta.get("images", [])}
@@ -539,6 +549,13 @@ class PanopticDataset:
         img_path, pan_path, segments = self.entries[i]
         image = _read_image(img_path)
         pan = rgb2id(np.asarray(Image.open(pan_path).convert("RGB")))
+        if self.category_map is not None:
+            segments = [
+                {**s,
+                 "category_id": self.category_map[int(s["category_id"])],
+                 "isthing": int(s["category_id"]) in self.thing_dataset_ids}
+                for s in segments
+            ]
         return image, pan, segments
 
     def __iter__(self):

@@ -92,6 +92,10 @@ def run_val_eval(cfg, params, data_root: str, max_images=None, tta: bool = False
         return None
     params = jax.device_get(params)
     if isinstance(ds, PanopticDataset):
+        if tta:
+            # no panoptic TTA in the reference (test_with_TTA is semantic
+            # only); don't re-run PQ and mislabel it as augmented
+            return None
         return _run_panoptic_val_eval(cfg, params, ds, ds_name, max_images)
     ev = SemSegEvaluator(cfg, params)
     n = len(ds) if not max_images else min(int(max_images), len(ds))
@@ -127,13 +131,11 @@ def _run_panoptic_val_eval(cfg, params, ds, ds_name, max_images=None):
 
     thing_ids = None
     if ds_name is not None:
-        try:
-            meta = catalog.metadata(ds_name)
-            m = meta.get("thing_dataset_id_to_contiguous_id")
-            if m:
-                thing_ids = tuple(sorted(m.values()))
-        except KeyError:
-            pass
+        m = catalog.metadata(ds_name).get("thing_dataset_id_to_contiguous_id")
+        if m:
+            # open metadata maps unknown things to the 255 sentinel — not a
+            # trainable thing id
+            thing_ids = tuple(sorted(v for v in set(m.values()) if v != 255))
     ev = (OpenPanopticEvaluator(cfg, params, thing_ids=thing_ids)
           if thing_ids is not None else OpenPanopticEvaluator(cfg, params))
     n = len(ds) if not max_images else min(int(max_images), len(ds))
@@ -253,23 +255,33 @@ def _unseen_label_set(cfg, args):
     path = cfg.unseen_label_set
     if not path:
         return None
+    datasets_dir = os.path.dirname(os.path.abspath(args.data_root))
     if not os.path.isabs(path):
-        path = os.path.join(os.path.dirname(os.path.abspath(args.data_root)), path)
+        # the reference resolves the path against its CWD, where datasets/
+        # IS the datasets dir — so 'datasets/unknown/unknown_K20.txt' means
+        # <datasets_dir>/unknown/unknown_K20.txt here; accept both spellings
+        candidates = [os.path.join(datasets_dir, path)]
+        if path.startswith("datasets/"):
+            candidates.append(
+                os.path.join(datasets_dir, path[len("datasets/"):])
+            )
+        path = next((c for c in candidates if os.path.isfile(c)), candidates[0])
     if not os.path.isfile(path):
         print(f"WARNING: DATASETS.UNSEEN_LABEL_SET {path!r} not found; "
               "training with full supervision")
         return None
-    catalog.register_standard_datasets(os.path.dirname(os.path.abspath(args.data_root)))
-    # thing_classes of DATASETS.TRAIN[0] (open_coco_mapper.py:107-108)
+    catalog.register_standard_datasets(datasets_dir)
+    # thing_classes of DATASETS.TRAIN[0] (open_coco_mapper.py:107-108);
+    # catalog.metadata returns {} for unknown names
     names: list = []
     for name in cfg.datasets_train:
-        try:
-            meta = catalog.metadata(name)
-        except KeyError:
-            continue
-        names = list(meta.get("thing_classes", [])) or names
+        names = list(catalog.metadata(name).get("thing_classes", []))
         if names:
             break
+    if not names:
+        print("WARNING: no thing_classes metadata for DATASETS.TRAIN; "
+              "unseen-label names cannot be resolved — full supervision")
+        return None
     return load_unseen_label_set(path, names)
 
 
@@ -373,7 +385,9 @@ def _resolve_dataset(name: str, data_root: str, semantic_only: bool = True):
     from ..data import catalog
     from ..data.ood_datasets import CityscapesSemSeg, OODDataset, PanopticDataset
 
-    if name.startswith("cityscapes_"):
+    # --data-root shortcut only for the SEMANTIC cityscapes names; panoptic/
+    # instance cityscapes names must go through the catalog like any other
+    if name.startswith("cityscapes_") and ("sem_seg" in name or name.endswith("_mix")):
         split = (
             "train" if name.endswith(("_train", "_mix"))
             else "val" if name.endswith("_val") else "test"
@@ -402,12 +416,9 @@ def _instance_view(ds, name: str):
             f"dataset {name!r} has no instance annotations (need panoptic gt)"
         )
     thing_ids = None
-    try:
-        m = catalog.metadata(name).get("thing_dataset_id_to_contiguous_id")
-        if m:
-            thing_ids = sorted(m.values())
-    except KeyError:
-        pass
+    m = catalog.metadata(name).get("thing_dataset_id_to_contiguous_id")
+    if m:
+        thing_ids = sorted(v for v in set(m.values()) if v != 255)
     return InstanceFromPanoptic(ds, thing_ids)
 
 
@@ -482,9 +493,12 @@ def main(argv=None):
         if cfg.test.aug_enabled:
             # reference train_net.py:378-379: TEST.AUG.ENABLED adds a
             # test-time-augmentation pass on top of the plain eval
-            res.update({f"{k}_TTA": v for k, v in run_val_eval(
+            res_tta = run_val_eval(
                 cfg, state.params, args.data_root, args.eval_max_images, tta=True
-            ).items() if k != "eval_images"})
+            )
+            if res_tta is not None:
+                res.update({f"{k}_TTA": v for k, v in res_tta.items()
+                            if k != "eval_images"})
         res["step"] = start
         print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
                           for k, v in res.items()}))

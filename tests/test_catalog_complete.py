@@ -58,14 +58,21 @@ def test_coco_panoptic_metadata_shape():
 
 
 def test_open_panoptic_drops_unknown_things():
+    """Open-variant id maps follow register_coco_open_panoptic.py:77-94: a
+    RUNNING contiguous index over kept classes (0..116) with unknown thing
+    ids mapped to the 255 sentinel in the thing map (and absent from the
+    stuff map)."""
     m = coco_panoptic_metadata(open_panoptic=True)
     assert len(m["thing_classes"]) == 80 - 16
     assert "car" not in m["thing_classes"]  # an unknown class
     assert "person" in m["thing_classes"]
     assert len(m["stuff_classes"]) == 133  # semantic view keeps everything
-    # unknown thing ids are absent from the thing map but present in stuff map
-    assert 3 not in m["thing_dataset_id_to_contiguous_id"]  # car id 3
-    assert 3 in m["stuff_dataset_id_to_contiguous_id"]
+    tm, sm = m["thing_dataset_id_to_contiguous_id"], m["stuff_dataset_id_to_contiguous_id"]
+    assert tm[3] == 255 and tm[2] == 255  # car / bicycle → unknown sentinel
+    assert 3 not in sm
+    assert tm[1] == 0 and tm[4] == 1 and tm[5] == 2  # person, motorcycle, airplane
+    known = sorted(v for v in list(tm.values()) + list(sm.values()) if v != 255)
+    assert known == list(range(133 - 16))  # contiguous 0..116, no gaps
 
 
 def test_stuff_10k_metadata():

@@ -144,3 +144,93 @@ def test_load_unseen_label_set(tmp_path):
     p.write_text("car\nbanana\n7\n")
     ids = load_unseen_label_set(str(p), ["person", "car", "dog", "banana"])
     assert ids == [1, 3, 7]
+
+
+def test_panoptic_reader_converts_category_ids(tmp_path):
+    """Catalog panoptic factories convert raw JSON category ids to contiguous
+    training ids (reference applies _convert_category_id at registration,
+    register_coco_open_panoptic.py:110-121)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from rba_tpu.data import catalog
+
+    coco = tmp_path / "coco"
+    for d in ("train2017", "panoptic_train2017", "annotations"):
+        os.makedirs(coco / d)
+    img = np.zeros((16, 16, 3), np.uint8)
+    Image.fromarray(img).save(coco / "train2017" / "000000000000.jpg")
+    pan_rgb = np.zeros((16, 16, 3), np.uint8)
+    pan_rgb[:, :8] = (1, 0, 0)   # id 1
+    pan_rgb[:, 8:] = (2, 0, 0)   # id 2
+    Image.fromarray(pan_rgb).save(coco / "panoptic_train2017" / "000000000000.png")
+    with open(coco / "annotations" / "panoptic_train2017.json", "w") as f:
+        json.dump({
+            "images": [{"id": 0, "file_name": "000000000000.jpg"}],
+            "annotations": [{
+                "image_id": 0, "file_name": "000000000000.png",
+                "segments_info": [
+                    {"id": 1, "category_id": 5, "iscrowd": 0},   # airplane (raw)
+                    {"id": 2, "category_id": 2, "iscrowd": 0},   # bicycle: unknown
+                ],
+            }],
+        }, f)
+
+    # fresh registry state for this root
+    catalog._REGISTRY.pop("coco_2017_train_panoptic_open", None)
+    catalog._METADATA.pop("coco_2017_train_panoptic_open", None)
+    catalog._STANDARD_OWNED.discard("coco_2017_train_panoptic_open")
+    saved_root = catalog._STANDARD_ROOT
+    catalog._STANDARD_ROOT = None
+    try:
+        catalog.register_standard_datasets(str(tmp_path))
+        ds = catalog.get("coco_2017_train_panoptic_open")
+        _, _, segments = ds[0]
+    finally:
+        catalog._STANDARD_ROOT = saved_root
+    by_id = {s["id"]: s for s in segments}
+    assert by_id[1]["category_id"] == 2 and by_id[1]["isthing"]  # airplane contiguous
+    assert by_id[2]["category_id"] == 255  # unknown thing → sentinel
+
+
+def test_register_standard_refresh_keeps_user_names(tmp_path):
+    from rba_tpu.data import catalog
+
+    marker = object()
+    name = "road_anomaly"
+    saved = (catalog._REGISTRY.get(name), catalog._METADATA.get(name),
+             name in catalog._STANDARD_OWNED, catalog._STANDARD_ROOT)
+    catalog._REGISTRY.pop(name, None)
+    catalog._STANDARD_OWNED.discard(name)
+    try:
+        catalog._REGISTRY[name] = lambda: marker
+        catalog._METADATA[name] = {"mine": True}
+        catalog.register_standard_datasets(str(tmp_path / "a"))
+        catalog.register_standard_datasets(str(tmp_path / "b"))  # refresh
+        assert catalog.get(name) is marker
+        assert catalog.metadata(name) == {"mine": True}
+    finally:
+        if saved[0] is not None:
+            catalog._REGISTRY[name] = saved[0]
+            catalog._METADATA[name] = saved[1]
+            if saved[2]:
+                catalog._STANDARD_OWNED.add(name)
+        catalog._STANDARD_ROOT = saved[3]
+
+
+def test_panoptic_mapper_color_aug(rng):
+    """COLOR_AUG_SSD applies to the panoptic/instance mappers (the reference
+    includes ColorAugSSDTransform in both aug lists)."""
+    cfg = MapperConfig(min_sizes=(128,), crop_hw=(96, 128), max_instances=4,
+                       color_aug=True)
+    m = PanopticDatasetMapper(cfg, seed=0)
+    img = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+    pan = np.ones((200, 300), np.int32)
+    out = m(img, pan, [{"id": 1, "category_id": 3}])
+    assert np.isfinite(out["images"]).all() and out["images"].shape == (96, 128, 3)
+    mi = InstanceDatasetMapper(cfg, seed=0)
+    masks = np.ones((1, 200, 300), np.uint8)
+    out = mi(img, masks, np.array([4]))
+    assert np.isfinite(out["images"]).all()

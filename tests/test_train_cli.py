@@ -356,3 +356,36 @@ def test_data_iterator_instance_lsj_from_panoptic(tmp_path):
     n = batch["gt_valid"].sum(axis=1)
     assert (n >= 1).all()
     assert set(np.unique(batch["gt_labels"][batch["gt_valid"] > 0])) <= {2, 5}
+
+
+def test_unseen_label_set_resolution(tmp_path):
+    """DATASETS.UNSEEN_LABEL_SET 'datasets/...'-prefixed paths resolve
+    against the datasets dir (the reference's CWD-relative convention where
+    datasets/ IS the datasets dir); names resolve to thing_classes indices
+    of DATASETS.TRAIN[0] (open_coco_mapper.py:107-126)."""
+    import argparse
+
+    from rba_tpu.train.train_net import _unseen_label_set
+
+    datasets = tmp_path / "datasets"
+    data_root = datasets / "cityscapes"
+    os.makedirs(data_root)
+    unknown = datasets / "unknown"
+    os.makedirs(unknown)
+    # 'person' resolves to thing index 0; 'car' is an unknown class, absent
+    # from the open thing_classes -> skipped with a warning, not a crash
+    (unknown / "unknown_K20.txt").write_text("person\ncar\n")
+
+    cfg = dataclasses.replace(
+        tiny_test_config(),
+        datasets_train=("coco_2017_train_panoptic_open",),
+        unseen_label_set="datasets/unknown/unknown_K20.txt",
+    )
+    args = argparse.Namespace(data_root=str(data_root))
+    assert _unseen_label_set(cfg, args) == [0]
+
+    # empty path disables; missing file warns and disables
+    cfg2 = dataclasses.replace(cfg, unseen_label_set="")
+    assert _unseen_label_set(cfg2, args) is None
+    cfg3 = dataclasses.replace(cfg, unseen_label_set="nope/missing.txt")
+    assert _unseen_label_set(cfg3, args) is None
