@@ -212,6 +212,7 @@ def register_standard_datasets(root: str) -> None:
 
     pan_meta = coco_panoptic_metadata()
     open_meta = coco_panoptic_metadata(open_panoptic=True)
+    mapi_pan_meta = mapillary_panoptic_metadata()
     stuff_meta = coco_stuff_10k_metadata()
     mapi_meta = mapillary_metadata()
     sh_meta = street_hazards_metadata()
@@ -241,15 +242,15 @@ def register_standard_datasets(root: str) -> None:
                 os.path.join(mapi, "training/images"),
                 os.path.join(mapi, "training/panoptic"),
                 os.path.join(mapi, "training/panoptic/panoptic_2018.json"),
-                mapillary_panoptic_metadata()),
-            mapillary_panoptic_metadata()),
+                mapi_pan_meta),
+            mapi_pan_meta),
         "mapillary_vistas_panoptic_val": (
             panoptic_reader(
                 os.path.join(mapi, "validation/images"),
                 os.path.join(mapi, "validation/panoptic"),
                 os.path.join(mapi, "validation/panoptic/panoptic_2018.json"),
-                mapillary_panoptic_metadata()),
-            mapillary_panoptic_metadata()),
+                mapi_pan_meta),
+            mapi_pan_meta),
         "mapillary_cityscapes_sem_seg_train": (
             lambda: MapillarySemSeg(mapi, "train"), cs_meta),
         "mapillary_cityscapes_sem_seg_val": (

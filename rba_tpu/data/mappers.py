@@ -432,12 +432,14 @@ class PanopticDatasetMapper(SemanticDatasetMapper):
         return self._panoptic_example(image, pan, segments_info)
 
     def _panoptic_example(self, image: np.ndarray, pan: np.ndarray,
-                          segments_info: List[Dict],
-                          skip_ignore_class: bool = False) -> Dict[str, np.ndarray]:
+                          segments_info: List[Dict]) -> Dict[str, np.ndarray]:
         """Segments → padded (class, mask) targets.  Crowd segments are
-        skipped (mask_former_panoptic_dataset_mapper.py:147-151); the LSJ
-        variant additionally skips category_id 255
-        (coco_panoptic_new_baseline_dataset_mapper.py:144-148); classes in
+        skipped (mask_former_panoptic_dataset_mapper.py:147-151), as is the
+        ignore class: the LSJ reference mapper checks class_id != 255
+        explicitly (coco_panoptic_new_baseline_dataset_mapper.py:144-148)
+        and the open readers emit 255 for unknown things, which must never
+        be supervised (the reference's closed panoptic mapper omits the
+        check only because its datasets never produce 255); classes in
         ``unseen_label_set`` are dropped from supervision (the open-world
         protocol, open_coco_mapper.py filter_unseen_class)."""
         c = self.cfg
@@ -450,7 +452,7 @@ class PanopticDatasetMapper(SemanticDatasetMapper):
             if seg.get("iscrowd", 0):
                 continue
             cls = int(seg["category_id"])
-            if skip_ignore_class and cls == c.ignore_label:
+            if cls == c.ignore_label:
                 continue
             if self.unseen and cls in self.unseen:
                 continue
@@ -620,8 +622,7 @@ class PanopticLSJDatasetMapper(PanopticDatasetMapper):
             self.image_size, self.min_scale, self.max_scale, flip=self.cfg.flip,
         )
         return self._panoptic_example(
-            image, np.ascontiguousarray(state["pan"]), segments_info,
-            skip_ignore_class=True,
+            image, np.ascontiguousarray(state["pan"]), segments_info
         )
 
 

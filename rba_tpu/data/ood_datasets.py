@@ -588,6 +588,8 @@ class InstanceFromPanoptic:
             if seg.get("iscrowd", 0):
                 continue
             cls = int(seg["category_id"])
+            if cls == 255:  # unknown/ignore sentinel — never supervised
+                continue
             if self.thing_ids is not None and cls not in self.thing_ids:
                 continue
             m = (pan == seg["id"]).astype(np.uint8)

@@ -127,7 +127,15 @@ class OpenPanopticEvaluator:
         self.pairs.append((pan_pred, segments_pred, pan_gt, segments_gt))
 
     def evaluate(self) -> Dict:
-        isthing = {c: True for c in self.thing_ids}
+        # full thing/stuff assignment over the contiguous class range (a
+        # things-only map would make pq_average(thing=False) skip every
+        # stuff category and report a structurally-zero Stuff split);
+        # unknown segments (category 255) are instance proposals → things
+        from .panoptic import UNKNOWN_CATEGORY
+
+        things = set(self.thing_ids)
+        isthing = {c: c in things for c in range(self.cfg.num_classes)}
+        isthing[UNKNOWN_CATEGORY] = True
         return pq_compute(self.pairs, isthing=isthing)
 
 

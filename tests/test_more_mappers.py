@@ -145,6 +145,26 @@ def test_load_unseen_label_set(tmp_path):
     ids = load_unseen_label_set(str(p), ["person", "car", "dog", "banana"])
     assert ids == [1, 3, 7]
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _catalog_snapshot():
+    """Restore the ENTIRE catalog module state afterwards — tests that call
+    register_standard_datasets(tmp_path) must not leave standard names
+    pointed at a deleted tmp dir for later tests in the same process."""
+    from rba_tpu.data import catalog
+
+    saved = (dict(catalog._REGISTRY), dict(catalog._METADATA),
+             set(catalog._STANDARD_OWNED), catalog._STANDARD_ROOT)
+    try:
+        yield catalog
+    finally:
+        catalog._REGISTRY.clear(); catalog._REGISTRY.update(saved[0])
+        catalog._METADATA.clear(); catalog._METADATA.update(saved[1])
+        catalog._STANDARD_OWNED.clear(); catalog._STANDARD_OWNED.update(saved[2])
+        catalog._STANDARD_ROOT = saved[3]
+
 
 def test_panoptic_reader_converts_category_ids(tmp_path):
     """Catalog panoptic factories convert raw JSON category ids to contiguous
@@ -154,8 +174,6 @@ def test_panoptic_reader_converts_category_ids(tmp_path):
     import os
 
     from PIL import Image
-
-    from rba_tpu.data import catalog
 
     coco = tmp_path / "coco"
     for d in ("train2017", "panoptic_train2017", "annotations"):
@@ -178,46 +196,49 @@ def test_panoptic_reader_converts_category_ids(tmp_path):
             }],
         }, f)
 
-    # fresh registry state for this root
-    catalog._REGISTRY.pop("coco_2017_train_panoptic_open", None)
-    catalog._METADATA.pop("coco_2017_train_panoptic_open", None)
-    catalog._STANDARD_OWNED.discard("coco_2017_train_panoptic_open")
-    saved_root = catalog._STANDARD_ROOT
-    catalog._STANDARD_ROOT = None
-    try:
+    with _catalog_snapshot() as catalog:
+        catalog._REGISTRY.pop("coco_2017_train_panoptic_open", None)
+        catalog._STANDARD_OWNED.discard("coco_2017_train_panoptic_open")
+        catalog._STANDARD_ROOT = None
         catalog.register_standard_datasets(str(tmp_path))
         ds = catalog.get("coco_2017_train_panoptic_open")
         _, _, segments = ds[0]
-    finally:
-        catalog._STANDARD_ROOT = saved_root
     by_id = {s["id"]: s for s in segments}
     assert by_id[1]["category_id"] == 2 and by_id[1]["isthing"]  # airplane contiguous
     assert by_id[2]["category_id"] == 255  # unknown thing → sentinel
 
+    # the 255-sentinel segment is excluded from supervision by BOTH panoptic
+    # mappers (the open-world protocol: unknowns are never trained on)
+    from rba_tpu.data.mappers import PanopticLSJDatasetMapper
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    pan = np.zeros((16, 16), np.int32); pan[:, :8] = 1; pan[:, 8:] = 2
+    for m in (
+        PanopticDatasetMapper(
+            MapperConfig(min_sizes=(16,), crop_hw=(16, 16), max_instances=4,
+                         color_aug=False), seed=0),
+        PanopticLSJDatasetMapper(
+            MapperConfig(max_instances=4, color_aug=False), seed=0, image_size=16),
+    ):
+        out = m(img, pan, segments)
+        n = int(out["gt_valid"].sum())
+        assert n == 1 and out["gt_labels"][0] == 2, type(m).__name__
+
 
 def test_register_standard_refresh_keeps_user_names(tmp_path):
-    from rba_tpu.data import catalog
-
     marker = object()
     name = "road_anomaly"
-    saved = (catalog._REGISTRY.get(name), catalog._METADATA.get(name),
-             name in catalog._STANDARD_OWNED, catalog._STANDARD_ROOT)
-    catalog._REGISTRY.pop(name, None)
-    catalog._STANDARD_OWNED.discard(name)
-    try:
+    with _catalog_snapshot() as catalog:
+        catalog._REGISTRY.pop(name, None)
+        catalog._METADATA.pop(name, None)
+        catalog._STANDARD_OWNED.discard(name)
+        catalog._STANDARD_ROOT = None
         catalog._REGISTRY[name] = lambda: marker
         catalog._METADATA[name] = {"mine": True}
         catalog.register_standard_datasets(str(tmp_path / "a"))
         catalog.register_standard_datasets(str(tmp_path / "b"))  # refresh
         assert catalog.get(name) is marker
         assert catalog.metadata(name) == {"mine": True}
-    finally:
-        if saved[0] is not None:
-            catalog._REGISTRY[name] = saved[0]
-            catalog._METADATA[name] = saved[1]
-            if saved[2]:
-                catalog._STANDARD_OWNED.add(name)
-        catalog._STANDARD_ROOT = saved[3]
 
 
 def test_panoptic_mapper_color_aug(rng):
@@ -234,3 +255,69 @@ def test_panoptic_mapper_color_aug(rng):
     masks = np.ones((1, 200, 300), np.uint8)
     out = mi(img, masks, np.array([4]))
     assert np.isfinite(out["images"]).all()
+
+
+def test_mapillary_panoptic_reader_and_mapper(tmp_path):
+    """mapillary_vistas_panoptic_train resolves to a converted PanopticDataset
+    (ids 1..65 → contiguous 0..64) whose tuples flow through the
+    mask_former_panoptic mapper (reference register_mapillary_vistas_panoptic
+    + MaskFormerPanopticDatasetMapper)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    mapi = tmp_path / "mapillary_vistas" / "training"
+    os.makedirs(mapi / "images")
+    os.makedirs(mapi / "panoptic")
+    img = np.zeros((32, 48, 3), np.uint8)
+    Image.fromarray(img).save(mapi / "images" / "a.jpg")
+    pan_rgb = np.zeros((32, 48, 3), np.uint8)
+    pan_rgb[:, :24] = (9, 0, 0)
+    Image.fromarray(pan_rgb).save(mapi / "panoptic" / "a.png")
+    with open(mapi / "panoptic" / "panoptic_2018.json", "w") as f:
+        json.dump({
+            "images": [{"id": "a", "file_name": "a.jpg"}],
+            "annotations": [{
+                "image_id": "a", "file_name": "a.png",
+                "segments_info": [{"id": 9, "category_id": 9, "iscrowd": 0}],
+            }],
+        }, f)
+
+    name = "mapillary_vistas_panoptic_train"
+    with _catalog_snapshot() as catalog:
+        catalog._REGISTRY.pop(name, None)
+        catalog._STANDARD_OWNED.discard(name)
+        catalog._STANDARD_ROOT = None
+        catalog.register_standard_datasets(str(tmp_path))
+        ds = catalog.get(name)
+        image, pan, segments = ds[0]
+    assert segments[0]["category_id"] == 8  # dataset id 9 → contiguous 8
+    assert segments[0]["isthing"]
+    cfg = MapperConfig(min_sizes=(32,), max_size=64, crop_hw=(32, 48),
+                       max_instances=4, color_aug=False)
+    out = PanopticDatasetMapper(cfg, seed=0)(image, pan, segments)
+    n = int(out["gt_valid"].sum())
+    assert n == 1 and out["gt_labels"][0] == 8
+
+
+def test_stuff_pq_split_not_structurally_zero(rng):
+    """Stuff PQ must count stuff categories (regression: a things-only
+    isthing map made pq_average(thing=False) skip every category)."""
+    import jax
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.evalx.seg_evaluators import OpenPanopticEvaluator
+    from rba_tpu.models.maskformer import maskformer_init
+
+    cfg = tiny_test_config()
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    ev = OpenPanopticEvaluator(cfg, params, thing_ids=(6,), open_panoptic=False)
+    # bypass the model: inject a perfect prediction pair directly
+    pan = np.zeros((16, 16), np.int32)
+    pan[:, :8] = 1
+    segs = [{"id": 1, "category_id": 2, "isthing": False}]  # class 2 = stuff
+    ev.pairs.append((pan, segs, pan.copy(), [dict(s) for s in segs]))
+    res = ev.evaluate()
+    assert res["Stuff"]["n"] == 1 and res["Stuff"]["pq"] == 1.0
+    assert res["Things"]["n"] == 0
