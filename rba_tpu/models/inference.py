@@ -144,7 +144,8 @@ def panoptic_inference(
 def _instance_device(mask_cls: jax.Array, mask_pred: jax.Array, topk: int, num_classes: int):
     scores = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[:, :-1]  # (Q, K)
     flat = scores.reshape(-1)
-    scores_topk, idx = jax.lax.top_k(flat, topk)
+    # small configs can have Q·K < the default top-100 proposal budget
+    scores_topk, idx = jax.lax.top_k(flat, min(topk, flat.shape[0]))
     labels_topk = idx % num_classes
     query_idx = idx // num_classes
     masks = mask_pred[query_idx]  # (topk, H, W) logits

@@ -150,6 +150,22 @@ def _run_panoptic_val_eval(cfg, params, ds, ds_name, max_images=None):
                     out[f"{split}_{k}"] = float(v)
         elif isinstance(stats, (int, float)):
             out[split] = float(stats)
+    if cfg.test.instance_on:
+        # TEST.INSTANCE_ON adds mask-AP over the thing segments of the same
+        # split (reference build_evaluator appends COCOEvaluator for
+        # coco_panoptic_seg when instance_on, train_net.py:103-131)
+        from ..data.ood_datasets import InstanceFromPanoptic
+        from ..evalx.seg_evaluators import InstanceEvaluator
+
+        inst_ev = InstanceEvaluator(cfg, params)
+        inst_ev._fwd = ev  # share the shape-keyed jitted forward cache
+        iv = InstanceFromPanoptic(ds, thing_ids)
+        for i in range(n):
+            image, masks, classes = iv[i]
+            inst_ev.process(image, masks, classes)
+        for k, v in inst_ev.evaluate().items():
+            if isinstance(v, (int, float)):
+                out[f"instance_{k}"] = float(v)
     out["eval_images"] = n
     return out
 

@@ -389,3 +389,28 @@ def test_unseen_label_set_resolution(tmp_path):
     assert _unseen_label_set(cfg2, args) is None
     cfg3 = dataclasses.replace(cfg, unseen_label_set="nope/missing.txt")
     assert _unseen_label_set(cfg3, args) is None
+
+
+def test_panoptic_val_eval_with_instance_on(tmp_path):
+    """TEST.INSTANCE_ON adds mask-AP rows to the panoptic val eval
+    (reference build_evaluator appends COCOEvaluator for coco_panoptic_seg
+    when instance_on, train_net.py:103-131)."""
+    import jax
+
+    from rba_tpu.models.maskformer import maskformer_init
+    from rba_tpu.train.train_net import run_val_eval
+
+    datasets = tmp_path / "datasets"
+    data_root = datasets / "cityscapes"
+    os.makedirs(data_root)
+    _make_coco_panoptic_tree(str(datasets / "coco"), n=2, split="val")
+
+    cfg = dataclasses.replace(
+        tiny_test_config(),
+        datasets_test=("coco_2017_val_panoptic_open",),
+        test=dataclasses.replace(tiny_test_config().test, instance_on=True),
+    )
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    res = run_val_eval(cfg, params, str(data_root), max_images=1)
+    assert "All_pq" in res and "instance_AP" in res
+    assert np.isfinite(res["instance_AP"]) and res["eval_images"] == 1
