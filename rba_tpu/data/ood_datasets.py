@@ -605,6 +605,29 @@ class InstanceFromPanoptic:
             yield self[i]
 
 
+class SemSegFromPanoptic(OODDataset):
+    """Semantic view over panoptic ground truth: label[pan == id] =
+    category_id, 255 elsewhere — the same map the reference prepares offline
+    into panoptic_semseg_* dirs (prepare_coco_semantic_annos_from_panoptic_
+    annos.py) and evaluates with SemSegEvaluator when SEMANTIC_ON."""
+
+    name = "sem_seg_from_panoptic"
+
+    def __init__(self, panoptic: "PanopticDataset"):
+        super().__init__()
+        self.panoptic = panoptic
+
+    def __len__(self):
+        return len(self.panoptic)
+
+    def __getitem__(self, i: int) -> Sample:
+        image, pan, segments = self.panoptic[i]
+        label = np.full(pan.shape, 255, np.int32)
+        for seg in segments:
+            label[pan == seg["id"]] = int(seg["category_id"])
+        return Sample(image, label, str(i))
+
+
 class SemSegFolder(OODDataset):
     """Generic (image dir, label dir) pairing by shared file stem — the
     equivalent of detectron2's load_sem_seg as used by the reference's

@@ -86,6 +86,11 @@ def write_d2_config(cfg, path: str) -> None:
                 "SIZE_DIVISIBILITY": cfg.input.size_divisibility,
                 "TRANSFORMER_DECODER_NAME": cfg.decoder.name,
                 "TRANSFORMER_IN_FEATURE": cfg.decoder.transformer_in_feature,
+                "TEST": {
+                    "SEMANTIC_ON": cfg.test.semantic_on,
+                    "PANOPTIC_ON": cfg.test.panoptic_on,
+                    "INSTANCE_ON": cfg.test.instance_on,
+                },
             },
             "PIXEL_MEAN": list(cfg.input.pixel_mean),
             "PIXEL_STD": list(cfg.input.pixel_std),

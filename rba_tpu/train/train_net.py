@@ -139,17 +139,39 @@ def _run_panoptic_val_eval(cfg, params, ds, ds_name, max_images=None):
     ev = (OpenPanopticEvaluator(cfg, params, thing_ids=thing_ids)
           if thing_ids is not None else OpenPanopticEvaluator(cfg, params))
     n = len(ds) if not max_images else min(int(max_images), len(ds))
-    for i in range(n):
-        image, pan_gt, segments_gt = ds[i]
-        ev.process(image, pan_gt, segments_gt)
     out = {}
-    for split, stats in ev.evaluate().items():
-        if isinstance(stats, dict):
-            for k, v in stats.items():
-                if isinstance(v, (int, float)):
-                    out[f"{split}_{k}"] = float(v)
-        elif isinstance(stats, (int, float)):
-            out[split] = float(stats)
+    # PANOPTIC_ON gates the PQ evaluator (train_net.py:108-117; the open
+    # mapper adds it unconditionally, :124-126); fall back to PQ when no
+    # TEST flag selects anything so eval never comes back empty
+    do_pq = (cfg.test.panoptic_on
+             or "open_panoptic" in cfg.input.dataset_mapper_name
+             or not (cfg.test.semantic_on or cfg.test.instance_on))
+    if do_pq:
+        for i in range(n):
+            image, pan_gt, segments_gt = ds[i]
+            ev.process(image, pan_gt, segments_gt)
+        for split, stats in ev.evaluate().items():
+            if isinstance(stats, dict):
+                for k, v in stats.items():
+                    if isinstance(v, (int, float)):
+                        out[f"{split}_{k}"] = float(v)
+            elif isinstance(stats, (int, float)):
+                out[split] = float(stats)
+    if cfg.test.semantic_on:
+        # SEMANTIC_ON adds mIoU over per-pixel labels derived from the same
+        # panoptic gt (the reference evaluates the offline-prepared
+        # panoptic_semseg_* maps with SemSegEvaluator, train_net.py:91-102)
+        from ..data.ood_datasets import SemSegFromPanoptic
+        from ..evalx.seg_evaluators import SemSegEvaluator
+
+        sem_ev = SemSegEvaluator(cfg, params)
+        sv = SemSegFromPanoptic(ds)
+        for i in range(n):
+            s = sv[i]
+            sem_ev.process(s.image, s.label)
+        sem_out = sem_ev.evaluate()
+        sem_out.pop("IoU_per_class", None)
+        out.update(sem_out)
     if cfg.test.instance_on:
         # TEST.INSTANCE_ON adds mask-AP over the thing segments of the same
         # split (reference build_evaluator appends COCOEvaluator for

@@ -285,6 +285,11 @@ def test_train_cli_coco_panoptic_lsj(tmp_path):
             min_scale=0.8,
             max_scale=1.2,
         ),
+        # the shipped open-panoptic recipe evaluates PQ only
+        # (SEMANTIC_ON/INSTANCE_ON False, PANOPTIC_ON True)
+        test=dataclasses.replace(
+            cfg.test, panoptic_on=True, semantic_on=False, instance_on=False
+        ),
     )
     cfg_path = tmp_path / "config.yaml"
     write_d2_config(cfg, str(cfg_path))
@@ -408,9 +413,20 @@ def test_panoptic_val_eval_with_instance_on(tmp_path):
     cfg = dataclasses.replace(
         tiny_test_config(),
         datasets_test=("coco_2017_val_panoptic_open",),
-        test=dataclasses.replace(tiny_test_config().test, instance_on=True),
+        test=dataclasses.replace(
+            tiny_test_config().test,
+            panoptic_on=True, instance_on=True, semantic_on=True,
+        ),
     )
     params = maskformer_init(jax.random.PRNGKey(0), cfg)
     res = run_val_eval(cfg, params, str(data_root), max_images=1)
-    assert "All_pq" in res and "instance_AP" in res
+    assert "All_pq" in res and "instance_AP" in res and "mIoU" in res
     assert np.isfinite(res["instance_AP"]) and res["eval_images"] == 1
+
+    # PANOPTIC_ON False suppresses PQ (reference gates the panoptic
+    # evaluator on the TEST flag, train_net.py:108-117)
+    cfg2 = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, panoptic_on=False, instance_on=False)
+    )
+    res2 = run_val_eval(cfg2, params, str(data_root), max_images=1)
+    assert "All_pq" not in res2 and "mIoU" in res2
