@@ -6,15 +6,27 @@ resolution — the north-star metric from BASELINE.md (target ≥8 img/s/chip
 on v5e; the reference publishes no throughput numbers, vs_baseline is
 measured against that 8 img/s target).
 
+Serving shape: a queue of COHORT distinct device-resident uint8 images is
+drained by one jitted ``lax.scan`` per dispatch (each scan iteration is a
+full single-image inference consuming its own xs slice, so nothing is
+loop-invariant), with two calls kept in flight.  This amortizes the
+per-call tunnel overhead (~26 ms fetch RTT + dispatch RPC) over COHORT
+images; the previous one-image-per-dispatch pipeline read ~22.9 img/s
+against a 24.3 img/s device rate.  Images are uint8 on device and cast to
+fp32 in-graph, matching the evaluator's upload convention.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+COHORT = 8   # distinct resident images per dispatch
+CALLS = 8    # timed dispatches per trial (COHORT*CALLS images)
+TRIALS = 3   # report the median (tunnel RTT jitter moves single trials)
 
 
 def main():
@@ -27,43 +39,41 @@ def main():
     cfg = fast_serving(load_d2_config("/root/reference/ckpts/swin_b_1dl/config.yaml"))
 
     h, w = 1024, 2048
-    batch = 1
     params = maskformer_init(jax.random.PRNGKey(0), cfg)
 
-    # reduce to a scalar on device; float() forces a real host sync every
-    # iteration (block_until_ready proved unreliable through the TPU tunnel)
-    fn = jax.jit(lambda p, x: maskformer_infer_rba(p, cfg, x).sum())
-    img = jnp.asarray(np.random.RandomState(0).rand(batch, h, w, 3) * 255, jnp.float32)
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (COHORT, 1, h, w, 3)), jnp.uint8
+    )
 
-    # compile + warmup
-    float(fn(params, img))
-    t0 = time.perf_counter()
-    float(fn(params, img))
-    warm = time.perf_counter() - t0
+    @jax.jit
+    def drain(params, imgs):
+        def body(carry, im):
+            r = maskformer_infer_rba(params, cfg, im.astype(jnp.float32))
+            return carry + jnp.mean(r), None
 
-    # throughput with a 3-deep pipeline: JAX async dispatch keeps the chip
-    # busy while the host round-trips (the tunnel adds ~26 ms/fetch; profiled
-    # device time is ~41 ms/image fast mode; depth 3 measured 20.8 vs 20.4
-    # img/s at depth 2 — one extra in-flight request fully hides the fetch
-    # RTT).  Tunnel RTT jitter moves a single trial by ±1.5 img/s, so report
-    # the median of 3 trials.
+        out, _ = jax.lax.scan(body, jnp.float32(0), imgs)
+        return out
+
+    # compile + warmup; float() forces a real host sync (block_until_ready
+    # proved unreliable through the TPU tunnel)
+    float(drain(params, imgs))
+    float(drain(params, imgs))
+
     from collections import deque
 
-    del warm
-    iters = 64
     rates = []
-    for _ in range(3):
+    for _ in range(TRIALS):
         pending = deque()
         t0 = time.perf_counter()
-        for _ in range(iters):
-            pending.append(fn(params, img))
-            if len(pending) > 3:
+        for _ in range(CALLS):
+            pending.append(drain(params, imgs))
+            if len(pending) > 2:
                 float(pending.popleft())
         while pending:
             float(pending.popleft())
-        rates.append(batch * iters / (time.perf_counter() - t0))
+        rates.append(COHORT * CALLS / (time.perf_counter() - t0))
 
-    ips = sorted(rates)[1]
+    ips = sorted(rates)[TRIALS // 2]
     print(
         json.dumps(
             {

@@ -43,7 +43,10 @@ class SwinConfig:
     use_checkpoint: bool = False  # jax.checkpoint (remat) over blocks
     # window-attention lowering: "partition" = explicit reshape/transpose
     # window partition (reference layout); "nested" = transpose-free einsum
-    # on the (B, nHw, ws, nWw, ws, C) view (identical math; perf experiment)
+    # on the (B, nHw, ws, nWw, ws, C) view; "resident" = whole stage runs in
+    # the partitioned token layout (one contiguous permutation per shift
+    # change instead of per-block partition/reverse round-trips; identical
+    # math at real tokens — see models/swin.py resident section)
     attn_layout: str = "partition"
     # MLP lowering: "xla" = unfused linear/gelu chain; "fused" = Pallas
     # token-tiled kernel (ops/pallas/fused_mlp.py) that keeps the 4C hidden

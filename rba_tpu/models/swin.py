@@ -54,6 +54,24 @@ def relative_position_index(ws: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
+def _resident_keep_mask(h, w, hp, wp, ws, shift):
+    """(nHw, nWw, ws²) float32 1=real/0=pad token indicator for the resident
+    window layout (canvas rolled by -shift, then partitioned), or None when
+    the stage needs no padding.  Multiplying the post-norm1 activations by
+    this restores the exact zeros the reference creates by re-padding after
+    norm1 every block (swin.py:241-244) — the one invariant the resident
+    layout must maintain so that pad-token k/v equal qkv(0) + bias."""
+    if hp == h and wp == w:
+        return None
+    m = np.zeros((hp, wp), np.float32)
+    m[:h, :w] = 1.0
+    if shift:
+        m = np.roll(m, (-shift, -shift), (0, 1))
+    m = m.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(m.reshape(hp // ws, wp // ws, ws * ws))
+
+
+@functools.lru_cache(maxsize=256)
 def shifted_window_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
     """(nW, ws², ws²) additive mask (0 / -100) for SW-MSA.
 
@@ -407,6 +425,122 @@ def swin_block_apply(
     return x
 
 
+# ---------------------------------------------------------------------------
+# Resident window layout (attn_layout="resident"): the whole stage runs in
+# the partitioned (B, nHw, nWw, ws², C) token layout.  LayerNorm / MLP /
+# residual adds are position-wise and commute with the partition, so the
+# per-block reverse → crop → … → pad → roll → partition round-trips of the
+# reference layout collapse to ONE contiguous permutation per shift change
+# (and none at all between same-shift neighbors).  In the reference layout
+# the two big transposes are separated by the MLP matmuls, so XLA must
+# materialize a relayout copy on each side of every block; here the
+# transpose→roll→transpose chain is adjacent and fuses.  Exactness: the pad
+# region is re-zeroed after norm1 each block (see _resident_keep_mask), so
+# real-token values are bit-identical to the partition layout; the price is
+# that pad tokens also flow through the MLP (+4–27% tokens per stage at
+# 1024×2048, ws=12).  MEASURED (Swin-B 1024×2048 fast mode, devtime):
+# 43.8 ms vs 41.2 ms partition — the pad-token MLP FLOPs and the per-block
+# keep-mask multiply cost more than the saved relayout copies, so this
+# LOSES in-model and stays opt-in (SwinConfig.attn_layout="resident").
+# ---------------------------------------------------------------------------
+
+def _resident_transition(xw, hp, wp, ws, from_shift, to_shift):
+    """Move (B, nHw, nWw, ws², C) tokens from the from_shift window layout to
+    the to_shift layout: reverse ∘ roll(from−to) ∘ partition, contiguous."""
+    b, nhw, nww, _, c = xw.shape
+    x = xw.reshape(b, nhw, nww, ws, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+    d = from_shift - to_shift
+    if d:
+        x = jnp.roll(x, shift=(d, d), axis=(1, 2))
+    x = x.reshape(b, nhw, ws, nww, ws, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, nhw, nww, ws * ws, c)
+
+
+def _resident_block(
+    blk,
+    xw: jax.Array,  # (B, nHw, nWw, ws², C) in this block's window layout
+    keep,  # np (nHw, nWw, ws²) or None
+    mask,  # np (nW, ws², ws²) additive or None
+    num_heads: int,
+    ws: int,
+    qk_scale,
+    drop_path_rate: float = 0.0,
+    rng=None,
+    deterministic: bool = True,
+    fast_math: bool = False,
+) -> jax.Array:
+    shortcut = xw
+    y = layer_norm(blk["norm1"], xw)
+    if keep is not None:
+        # restore exact zeros at pad tokens (the elementwise multiply fuses
+        # into the norm/qkv neighborhood, unlike a relayout copy)
+        y = y * jnp.asarray(keep, y.dtype)[None, :, :, :, None]
+    y = _window_attention(blk["attn"], y, num_heads, ws, mask, qk_scale,
+                          fast_math=fast_math)
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    x = shortcut + _drop_path(y, drop_path_rate, rngs[0], deterministic)
+    z = layer_norm(blk["norm2"], x)
+    z = linear(blk["mlp"]["fc2"], jax.nn.gelu(linear(blk["mlp"]["fc1"], z), approximate=False))
+    return x + _drop_path(z, drop_path_rate, rngs[1], deterministic)
+
+
+def _run_stage_resident(
+    blocks,
+    x: jax.Array,  # (B, H, W, C)
+    num_heads: int,
+    ws: int,
+    qk_scale,
+    dprs,  # per-block drop-path rates
+    rng,
+    deterministic: bool,
+    fast_math: bool,
+    use_checkpoint: bool,
+) -> jax.Array:
+    b, h, w, c = x.shape
+    shift = ws // 2
+    pad_b = (ws - h % ws) % ws
+    pad_r = (ws - w % ws) % ws
+    hp, wp = h + pad_b, w + pad_r
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    nhw, nww = hp // ws, wp // ws
+    xw = x.reshape(b, nhw, ws, nww, ws, c)
+    xw = jnp.transpose(xw, (0, 1, 3, 2, 4, 5)).reshape(b, nhw, nww, ws * ws, c)
+
+    cur = 0
+    for j, blk in enumerate(blocks):
+        s = 0 if j % 2 == 0 else shift
+        if s != cur:
+            xw = _resident_transition(xw, hp, wp, ws, cur, s)
+            cur = s
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        fn = functools.partial(
+            _resident_block,
+            keep=_resident_keep_mask(h, w, hp, wp, ws, s),
+            mask=shifted_window_mask(hp, wp, ws, shift) if s else None,
+            num_heads=num_heads,
+            ws=ws,
+            qk_scale=qk_scale,
+            drop_path_rate=float(dprs[j]),
+            rng=sub,
+            deterministic=deterministic,
+            fast_math=fast_math,
+        )
+        if use_checkpoint:
+            fn = jax.checkpoint(fn)
+        xw = fn(blk, xw)
+
+    if cur:
+        xw = _resident_transition(xw, hp, wp, ws, cur, 0)
+    x = xw.reshape(b, nhw, nww, ws, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+    return x[:, :h, :w] if (pad_b or pad_r) else x
+
+
 def _patch_merging(params, x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, ⌈H/2⌉, ⌈W/2⌉, 2C); concat order [ee, oe, eo, oo]
     matching reference PatchMerging (swin.py:327-331)."""
@@ -474,6 +608,33 @@ def swin_apply(
     blk_idx = 0
     for i in range(cfg.num_layers):
         layer = params["layers"][i]
+
+        if cfg.attn_layout == "resident":
+            depth = cfg.depths[i]
+            if rng is not None:
+                rng, stage_rng = jax.random.split(rng)
+            else:
+                stage_rng = None
+            x_out = _run_stage_resident(
+                layer["blocks"],
+                x,
+                num_heads=cfg.num_heads[i],
+                ws=cfg.window_size,
+                qk_scale=cfg.qk_scale,
+                dprs=dpr[blk_idx : blk_idx + depth],
+                rng=stage_rng,
+                deterministic=deterministic,
+                fast_math=fast_math,
+                use_checkpoint=cfg.use_checkpoint,
+            )
+            blk_idx += depth
+            if f"res{i + 2}" in cfg.out_features:
+                outs[f"res{i + 2}"] = layer_norm(params[f"norm{i}"], x_out)
+            if "downsample" in layer:
+                x = _patch_merging(layer["downsample"], x_out)
+            else:
+                x = x_out
+            continue
 
         def run_blocks(x):
             nonlocal blk_idx, rng

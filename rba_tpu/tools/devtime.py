@@ -40,7 +40,7 @@ def main(argv=None):
         help="fast serving mode: pixel_decoder_dtype=bfloat16 + fast_math=True",
     )
     ap.add_argument(
-        "--attn-layout", default=None, choices=["partition", "nested"],
+        "--attn-layout", default=None, choices=["partition", "nested", "resident"],
         help="window-attention lowering experiment (SwinConfig.attn_layout)",
     )
     ap.add_argument(

@@ -170,3 +170,55 @@ def test_nested_attn_layout_matches_partition(rng):
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_resident_attn_layout_matches_partition(rng):
+    """attn_layout="resident" (stage-resident window layout, pad re-zeroed
+    after norm1) equals the reference partition layout at real tokens —
+    including shifted blocks on a padded, non-divisible input."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.models.swin import swin_apply, swin_init
+
+    cfg = tiny_test_config().swin
+    params = swin_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(2, 40, 56, 3), jnp.float32)  # non-divisible: pads
+    a = swin_apply(params, cfg, x, compute_dtype=jnp.float32)
+    b = swin_apply(params, dataclasses.replace(cfg, attn_layout="resident"), x,
+                   compute_dtype=jnp.float32)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_resident_attn_layout_grad_and_remat(rng):
+    """Resident layout trains: gradients match the partition layout and the
+    per-block remat wrapper composes with it."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.models.swin import swin_apply, swin_init
+
+    cfg = tiny_test_config().swin
+    params = swin_init(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.randn(1, 24, 40, 3), jnp.float32)
+
+    def loss(p, layout, remat):
+        c = dataclasses.replace(cfg, attn_layout=layout, use_checkpoint=remat)
+        outs = swin_apply(p, c, x, compute_dtype=jnp.float32)
+        return sum(jnp.sum(v**2) for v in outs.values())
+
+    ga = jax.grad(loss)(params, "partition", False)
+    gb = jax.grad(loss)(params, "resident", True)
+    flat_a = jax.tree.leaves(ga)
+    flat_b = jax.tree.leaves(gb)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-5)
