@@ -6,8 +6,9 @@ equivalent is a 1-D ``data`` mesh: batches are sharded over it, parameters
 are replicated, and XLA inserts the gradient all-reduce over ICI from the
 shardings — no process-group bootstrap, no explicit collectives.
 
-A second ``model`` axis is provisioned for future spatial/tensor sharding of
-very-high-res inference (Mapillary), but the released models fit one chip.
+A second ``model`` axis carries optional Megatron-style tensor parallelism
+for the transformer MLPs (parallel/tp.py) — capability beyond the
+reference's DDP; the released models fit one chip, so it is off by default.
 """
 from __future__ import annotations
 

@@ -28,13 +28,19 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
-def make_train_state(rng: jax.Array, cfg: RbAConfig, mesh: Mesh | None = None) -> TrainState:
+def make_train_state(
+    rng: jax.Array, cfg: RbAConfig, mesh: Mesh | None = None, tp: bool = False
+) -> TrainState:
     """Builds the initial state; pass ``mesh`` to commit it with the
-    replicated sharding the train step expects.  Without it the first
-    step() call sees uncommitted-input avals and pjit compiles TWICE (once
-    more when the donated outputs come back committed) — through the remote
-    TPU tunnel that second compile costs minutes (measured 227 s at Swin-B
-    512×1024)."""
+    sharding the train step expects.  Without it the first step() call
+    sees uncommitted-input avals and pjit compiles TWICE (once more when
+    the donated outputs come back committed) — through the remote TPU
+    tunnel that second compile costs minutes (measured 227 s at Swin-B
+    512×1024).
+
+    ``tp=True`` lays the MLP weights (and their optimizer moments) out
+    tensor-parallel over the mesh's ``model`` axis (parallel/tp.py);
+    pass the matching tree to ``make_train_step(state_sharding=...)``."""
     k1, k2 = jax.random.split(rng)
     params = maskformer_init(k1, cfg)
     tx = build_optimizer(cfg, params)
@@ -42,11 +48,16 @@ def make_train_state(rng: jax.Array, cfg: RbAConfig, mesh: Mesh | None = None) -
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32), rng=k2
     )
     if mesh is not None:
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if tp:
+            from ..parallel.tp import tp_shardings
+
+            state = jax.device_put(state, tp_shardings(state, mesh))
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
     return state
 
 
-def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1):
+def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1, state_sharding=None):
     """Returns a jitted (state, batch) -> (state, metrics) step.  ``batch``:
     images (B,H,W,3) raw RGB; gt_labels (B,T); gt_masks (B,T,H,W);
     gt_valid (B,T); optional outlier_masks / sem_seg (B,H,W).
@@ -122,6 +133,11 @@ def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    # sharding pytree prefixes: whole state replicated, every batch leaf
-    # sharded along dim 0 (the DDP-equivalent layout)
-    return jax.jit(step_fn, in_shardings=(repl, data), donate_argnums=(0,))
+    # sharding pytree prefixes: state replicated (the DDP-equivalent layout)
+    # unless a tensor-parallel tree is supplied (parallel/tp.py), every
+    # batch leaf sharded along dim 0.  out_shardings pins the updated state
+    # to the input layout so step N+1 never reshards.
+    ss = repl if state_sharding is None else state_sharding
+    return jax.jit(
+        step_fn, in_shardings=(ss, data), out_shardings=(ss, repl), donate_argnums=(0,)
+    )
