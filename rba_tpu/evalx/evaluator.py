@@ -133,6 +133,7 @@ class OODEvaluator:
                  use_gaussian_smoothing: bool = False):
         self.cfg = cfg
         self.params = params
+        self.score_name = score if isinstance(score, str) else None
         if callable(score):
             self.score_fn = score
         else:
@@ -188,17 +189,35 @@ class OODEvaluator:
     ) -> Dict[str, float]:
         """Histogram-streaming evaluation: scores never leave the device at
         full resolution.  ~1e-3 metric agreement with the exact path.
-        ``score_range`` widens the histogram for unbounded scores (energy /
-        dense_hybrid); out-of-range scores trigger a saturation warning."""
-        metrics = (
-            StreamingOODMetrics(score_range=score_range)
-            if score_range is not None
-            else StreamingOODMetrics()
+
+        Unbounded score functions (energy/PEBAL, DenseHybrid) stream into
+        log-spaced (asinh-binned) histograms that cover all finite fp32
+        scores, so they cannot saturate.  If a custom ``score_range`` (or a
+        bounded-score default) does saturate anyway, the evaluation falls
+        back to the exact all-pixel path — never silently-distorted
+        metrics."""
+        transform = (
+            "asinh"
+            if self.score_name in ("pebal", "energy", "dense_hybrid")
+            and score_range is None
+            else "linear"
         )
+        metrics = StreamingOODMetrics(score_range=score_range, transform=transform)
         for sample in prefetch(dataset, upper_limit):
             s = self.score_fn(sample.image[None])
             # uint8 labels: 4x less tunnel traffic; histogram compares ints
             metrics.update(s[0], jnp.asarray(sample.label.astype(np.uint8)))
+        if metrics.clipped:
+            import warnings
+
+            warnings.warn(
+                f"streaming histogram saturated (observed scores "
+                f"[{float(metrics.smin):.3g}, {float(metrics.smax):.3g}] outside "
+                f"{metrics.range}); re-running the exact all-pixel path",
+                stacklevel=2,
+            )
+            scores, gts = self.compute_anomaly_scores(dataset, upper_limit)
+            return self.evaluate_ood(scores, gts)
         m = metrics.compute()
         return {"auroc": m["AUROC"], "aupr": m["AUPRC"], "fpr95": m["FPR@95TPR"]}
 

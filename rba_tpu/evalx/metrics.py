@@ -24,6 +24,14 @@ import numpy as np
 # RbA scores are bounded: -Σ_k tanh ∈ [-K, K]; leave headroom for energy etc.
 DEFAULT_RANGE = (-64.0, 64.0)
 DEFAULT_BINS = 1 << 16
+# asinh-space range covering every finite fp32 magnitude
+# (asinh(3.4e38) ≈ 88.7): unbounded score functions can never saturate
+ASINH_RANGE = (-90.0, 90.0)
+# the asinh transform trades resolution for range (bin width grows ∝ |s|),
+# so the asinh histogram uses 64× more bins — still only 16 MiB of int32
+# (validated <1e-3 vs exact on 9-decade heavy-tailed scores in
+# tests/test_metrics.py)
+ASINH_BINS = 1 << 22
 
 
 def histogram_update(
@@ -31,11 +39,21 @@ def histogram_update(
     labels: jax.Array,  # (…,) int: 0 inlier, 1 anomaly, 255 ignore
     bins: int = DEFAULT_BINS,
     score_range: Tuple[float, float] = DEFAULT_RANGE,
+    transform: str = "linear",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (pos_hist, neg_hist) int32 histograms of anomaly/inlier pixel
-    scores.  Jit-friendly; sum histograms across images/chips."""
+    scores.  Jit-friendly; sum histograms across images/chips.
+
+    ``transform="asinh"`` bins asinh(score) instead of the raw score —
+    asinh is strictly monotone, and AUPRC/AUROC/FPR95 depend only on the
+    score *ordering*, so ``metrics_from_histograms`` is unchanged; the
+    benefit is log-spaced resolution that covers all finite fp32 scores
+    (``score_range`` is then interpreted in asinh space)."""
     lo, hi = score_range
-    s = jnp.clip(scores.reshape(-1).astype(jnp.float32), lo, hi)
+    s = scores.reshape(-1).astype(jnp.float32)
+    if transform == "asinh":
+        s = jnp.arcsinh(s)
+    s = jnp.clip(s, lo, hi)
     idx = ((s - lo) * (bins / (hi - lo))).astype(jnp.int32)
     idx = jnp.clip(idx, 0, bins - 1)
     lab = labels.reshape(-1)
@@ -134,7 +152,20 @@ class StreamingOODMetrics:
     on a device→host sync per image (the chip stays busy while the host
     decodes the next image)."""
 
-    def __init__(self, bins: int = DEFAULT_BINS, score_range=DEFAULT_RANGE):
+    def __init__(self, bins: Optional[int] = None, score_range=None,
+                 transform: str = "linear"):
+        """``transform="asinh"`` switches to log-spaced binning that covers
+        every finite fp32 score (for unbounded score functions like the
+        PEBAL energy); defaults then become ASINH_BINS/ASINH_RANGE and
+        saturation is impossible.  Linear mode keeps the validated
+        2^16-bin [-64, 64] default for bounded RbA scores."""
+        if transform not in ("linear", "asinh"):
+            raise ValueError(f"unknown transform {transform!r}")
+        self.transform = transform
+        if bins is None:
+            bins = ASINH_BINS if transform == "asinh" else DEFAULT_BINS
+        if score_range is None:
+            score_range = ASINH_RANGE if transform == "asinh" else DEFAULT_RANGE
         self.bins = bins
         self.range = score_range
         self.pos = jnp.zeros((bins,), jnp.int32)
@@ -153,7 +184,9 @@ class StreamingOODMetrics:
         self.smax = jnp.asarray(-jnp.inf, jnp.float32)
 
         def _upd(p, n, lo, hi, s, l):
-            dp, dn = histogram_update(s, l, bins=bins, score_range=score_range)
+            dp, dn = histogram_update(
+                s, l, bins=bins, score_range=score_range, transform=transform
+            )
             sf = s.reshape(-1).astype(jnp.float32)
             scored = l.reshape(-1) != 255
             lo = jnp.minimum(lo, jnp.min(jnp.where(scored, sf, jnp.inf)))
@@ -182,7 +215,10 @@ class StreamingOODMetrics:
     @property
     def clipped(self) -> bool:
         lo, hi = self.range
-        return bool(float(self.smin) < lo) or bool(float(self.smax) > hi)
+        smin, smax = float(self.smin), float(self.smax)
+        if self.transform == "asinh":
+            smin, smax = np.arcsinh(smin), np.arcsinh(smax)
+        return bool(smin < lo) or bool(smax > hi)
 
     def compute(self) -> Dict[str, float]:
         if self.clipped:

@@ -22,6 +22,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n % model_axis:
+        raise ValueError(
+            f"n_devices={n} is not divisible by model_axis={model_axis}; "
+            f"pick a model axis that divides the device count"
+        )
     devices = np.asarray(devices[:n]).reshape(n // model_axis, model_axis)
     return Mesh(devices, axis_names=("data", "model"))
 

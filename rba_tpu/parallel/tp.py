@@ -78,11 +78,28 @@ def tp_shardings(tree: Any, mesh: Mesh) -> Any:
     """NamedSharding pytree for params / optax state / TrainState.
 
     Works on concrete arrays or ``jax.eval_shape`` abstractions — only
-    path names and shapes are read."""
+    path names and shapes are read.  Warns when a >1 model axis is
+    requested but no leaf matches the TP rules (e.g. hidden dims not
+    divisible by the axis size): the caller would otherwise silently get
+    full replication instead of tensor parallelism."""
     m = mesh.shape.get("model", 1)
-    return jax.tree_util.tree_map_with_path(
+    out = jax.tree_util.tree_map_with_path(
         lambda path, x: NamedSharding(mesh, tp_spec(path, x.shape, m)), tree
     )
+    if m > 1:
+        n_sharded = sum(
+            1 for s in jax.tree.leaves(out) if s.spec != P()
+        )
+        if n_sharded == 0:
+            import warnings
+
+            warnings.warn(
+                f"tp_shardings: model axis size {m} requested but no parameter "
+                f"matched the TP rules (MLP dims must be divisible by {m}); "
+                f"the tree is fully replicated — no tensor parallelism",
+                stacklevel=2,
+            )
+    return out
 
 
 def shard_params_tp(params: Any, mesh: Mesh) -> Any:

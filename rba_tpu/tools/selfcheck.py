@@ -18,8 +18,16 @@ datasets/ --exact``) with every stage already exercised:
   4. runs the exact-metrics evaluation both ways and reports the deltas.
 
 Usage:
-    python evaluate_ood.py --selfcheck            # full swin_b_1dl arch
-    python -m rba_tpu.tools.selfcheck --tiny      # miniature arch (CI)
+    python evaluate_ood.py --selfcheck                  # full swin_b_1dl arch
+    python evaluate_ood.py --selfcheck --arch all       # all 5 released configs
+    python evaluate_ood.py --selfcheck --arch swin_l_1dl --hw 1024x2048 \
+        --platform default                              # full-res, JAX on TPU
+    python -m rba_tpu.tools.selfcheck --tiny            # miniature arch (CI)
+
+``--arch`` covers every released checkpoint directory under
+/root/reference/ckpts (the five frozen config.yaml files are the contract
+for the released weights); the OOD-finetuned variants share the swin_b/
+swin_l forward architecture but exercise their own config-ingestion path.
 
 Reference spec: /root/reference/evaluate_ood.py:108-124 (get_model:
 setup + build_model + DetectionCheckpointer), MODEL_ZOO.md tables.
@@ -32,6 +40,16 @@ import json
 import os
 import sys
 import tempfile
+
+#: the five released checkpoint configs (reference ckpts/*/config.yaml)
+ARCHS = (
+    "swin_b_1dl",
+    "swin_b_1dl_rba_ood_coco",
+    "swin_b_1dl_rba_ood_map_coco",
+    "swin_l_1dl",
+    "swin_l_1dl_rba_ood_map_coco",
+)
+_CKPT_CONFIG_ROOT = "/root/reference/ckpts"
 
 
 def _repo_root() -> str:
@@ -238,10 +256,24 @@ def torch_rba_scores(swin, pd, dec, cfg, images) -> "np.ndarray":
     return np.stack(out)
 
 
-def run_selfcheck(workdir: str, tiny: bool, n_images: int, hw, tol: float) -> dict:
+def run_selfcheck(
+    workdir: str,
+    arch: str = "tiny",
+    n_images: int = 4,
+    hw=(128, 256),
+    tol: float = 1e-3,
+    platform: str = "cpu",
+) -> dict:
+    """One parity run for ``arch`` ∈ {"tiny"} ∪ ARCHS.
+
+    ``platform="cpu"`` (default) pins JAX to CPU for bit-stable parity
+    arithmetic; ``platform="default"`` leaves the session platform alone so
+    full-resolution runs score on the real TPU (the torch reference side
+    always runs on CPU — this measures the *deployed* numerics gap)."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # bit-stable parity arithmetic
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from ..config import load_d2_config, tiny_test_config
@@ -249,14 +281,19 @@ def run_selfcheck(workdir: str, tiny: bool, n_images: int, hw, tol: float) -> di
     from ..evalx.evaluator import OODEvaluator
     from ..evalx.sweep import load_model
 
+    tiny = arch == "tiny"
     if tiny:
-        arch = tiny_test_config()
+        arch_cfg = tiny_test_config()
     else:
-        arch = load_d2_config("/root/reference/ckpts/swin_b_1dl/config.yaml")
+        if arch not in ARCHS:
+            raise ValueError(f"unknown arch {arch!r}; choose from {ARCHS}")
+        arch_cfg = load_d2_config(
+            os.path.join(_CKPT_CONFIG_ROOT, arch, "config.yaml")
+        )
 
-    model_dir = os.path.join(workdir, "ckpts", "selfcheck")
-    swin, pd, dec = build_torch_model(arch)
-    export_checkpoint(swin, pd, dec, arch, model_dir)
+    model_dir = os.path.join(workdir, "ckpts", f"selfcheck_{arch}")
+    swin, pd, dec = build_torch_model(arch_cfg)
+    export_checkpoint(swin, pd, dec, arch_cfg, model_dir)
 
     # production load path: config.yaml ingestion + .pth conversion.
     # precision="fp32" (not the serving default "fast"): the selfcheck's
@@ -275,7 +312,8 @@ def run_selfcheck(workdir: str, tiny: bool, n_images: int, hw, tol: float) -> di
     m_jax = ev.evaluate_ood(scores, gts)
     m_torch = ev.evaluate_ood(rba_torch, gts)
     result = {
-        "mode": "tiny" if tiny else "swin_b_1dl",
+        "mode": arch,
+        "platform": platform,
         "n_images": n_images,
         "hw": list(hw),
         "max_score_delta": delta,
@@ -294,23 +332,40 @@ def main(argv=None):
                     help="scratch dir for the exported checkpoint (default: tmp)")
     ap.add_argument("--tiny", action="store_true",
                     help="miniature architecture (seconds instead of minutes)")
+    ap.add_argument("--arch", default=None, choices=("tiny", "all") + ARCHS,
+                    help="released checkpoint config to check (or 'all' for "
+                         "every frozen ckpts/*/config.yaml); default swin_b_1dl")
     ap.add_argument("--images", type=int, default=4)
     ap.add_argument("--hw", default=None, help="synthetic image HxW")
     ap.add_argument("--tol", type=float, default=1e-3)
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "default"),
+                    help="'cpu' pins JAX to CPU (bit-stable parity); "
+                         "'default' scores on the session device (TPU)")
     args = ap.parse_args(argv)
 
+    arch = args.arch or ("tiny" if args.tiny else "swin_b_1dl")
     hw = (
         tuple(int(v) for v in args.hw.split("x"))
-        if args.hw else ((64, 96) if args.tiny else (128, 256))
+        if args.hw else ((64, 96) if arch == "tiny" else (128, 256))
     )
     workdir = args.workdir or tempfile.mkdtemp(prefix="rba_selfcheck_")
-    result = run_selfcheck(workdir, args.tiny, args.images, hw, args.tol)
-    print(json.dumps(result, indent=2))
-    if not result["pass"]:
+    archs = ARCHS if arch == "all" else (arch,)
+    results = []
+    for a in archs:
+        result = run_selfcheck(workdir, a, args.images, hw, args.tol,
+                               platform=args.platform)
+        print(json.dumps(result, indent=2))
+        results.append(result)
+    failed = [r for r in results if not r["pass"]]
+    if failed:
         raise SystemExit(
-            f"selfcheck FAILED: max score delta {result['max_score_delta']} > {args.tol}"
+            "selfcheck FAILED: "
+            + ", ".join(
+                f"{r['mode']} delta {r['max_score_delta']:.2e} > {r['tolerance']}"
+                for r in failed
+            )
         )
-    print("selfcheck PASS")
+    print(f"selfcheck PASS ({len(results)} arch(s))")
 
 
 if __name__ == "__main__":

@@ -57,10 +57,23 @@ def make_train_state(
     return state
 
 
-def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1, state_sharding=None):
+def make_train_step(
+    cfg: RbAConfig,
+    mesh: Mesh,
+    grad_accum: int = 1,
+    state_sharding=None,
+    tp: bool = False,
+):
     """Returns a jitted (state, batch) -> (state, metrics) step.  ``batch``:
     images (B,H,W,3) raw RGB; gt_labels (B,T); gt_masks (B,T,H,W);
     gt_valid (B,T); optional outlier_masks / sem_seg (B,H,W).
+
+    ``tp=True`` derives the tensor-parallel state sharding tree itself
+    (via ``jax.eval_shape`` — no arrays materialized) so it always agrees
+    with ``make_train_state(..., tp=True)``; passing a TP state into a
+    step built with the default replicated sharding would otherwise force
+    a silent full all-gather resharding of the parameters every step.
+    ``state_sharding`` still overrides for custom layouts.
 
     ``grad_accum`` > 1 splits the leading batch dim into that many
     micro-batches accumulated with lax.scan before one optimizer update —
@@ -137,6 +150,13 @@ def make_train_step(cfg: RbAConfig, mesh: Mesh, grad_accum: int = 1, state_shard
     # unless a tensor-parallel tree is supplied (parallel/tp.py), every
     # batch leaf sharded along dim 0.  out_shardings pins the updated state
     # to the input layout so step N+1 never reshards.
+    if tp and state_sharding is None:
+        from ..parallel.tp import tp_shardings
+
+        state_shapes = jax.eval_shape(
+            lambda: make_train_state(jax.random.PRNGKey(0), cfg)
+        )
+        state_sharding = tp_shardings(state_shapes, mesh)
     ss = repl if state_sharding is None else state_sharding
     return jax.jit(
         step_fn, in_shardings=(ss, data), out_shardings=(ss, repl), donate_argnums=(0,)

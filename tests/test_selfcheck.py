@@ -9,8 +9,20 @@ def test_selfcheck_tiny_pipeline():
     from rba_tpu.tools.selfcheck import run_selfcheck
 
     with tempfile.TemporaryDirectory() as d:
-        result = run_selfcheck(d, tiny=True, n_images=2, hw=(64, 96), tol=1e-3)
+        result = run_selfcheck(d, "tiny", n_images=2, hw=(64, 96), tol=1e-3)
     assert result["pass"], result
     assert result["max_score_delta"] <= 1e-3
     for k, v in result["metric_deltas"].items():
         assert v < 1e-3, (k, v)
+
+
+def test_selfcheck_swin_l_full_arch():
+    """The released Swin-L architecture (embed 192, depths 2/2/18/2, heads
+    6/12/24/48, window 12) through the full export→ingest→convert→score
+    parity pipeline at reduced input — the VERDICT r3 gap was that only
+    swin_b_1dl had selfcheck coverage (reference ckpts/swin_l_1dl)."""
+    from rba_tpu.tools.selfcheck import run_selfcheck
+
+    with tempfile.TemporaryDirectory() as d:
+        result = run_selfcheck(d, "swin_l_1dl", n_images=1, hw=(64, 128), tol=1e-3)
+    assert result["pass"], result

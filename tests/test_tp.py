@@ -72,9 +72,8 @@ def test_tp_train_step_matches_dp():
     # the MLP weights really are distributed
     k = state_tp.params["backbone"]["layers"][0]["blocks"][0]["mlp"]["fc1"]["kernel"]
     assert k.sharding.spec == P(None, "model")
-    step_tp = make_train_step(
-        cfg, mesh_tp, state_sharding=tp_shardings(state_tp, mesh_tp)
-    )
+    # tp=True derives the same sharding tree as make_train_state(tp=True)
+    step_tp = make_train_step(cfg, mesh_tp, tp=True)
     state_tp2, m_tp = step_tp(state_tp, batch)
 
     # same math, different contraction/reduction splits: fp32 tolerance
@@ -85,6 +84,26 @@ def test_tp_train_step_matches_dp():
     # the updated state keeps the TP layout (no creeping resharding)
     k2 = state_tp2.params["backbone"]["layers"][0]["blocks"][0]["mlp"]["fc1"]["kernel"]
     assert k2.sharding.spec == P(None, "model")
+
+
+def test_make_mesh_rejects_indivisible_model_axis():
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(8, model_axis=3)
+
+
+def test_tp_shardings_warns_when_nothing_sharded():
+    # hidden dims not divisible by the model axis → full replication + warning
+    import warnings
+
+    mesh = make_mesh(8, model_axis=4)
+    tree = {"mlp": {"fc1": {"kernel": jnp.zeros((6, 6)), "bias": jnp.zeros((6,))}}}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sh = tp_shardings(tree, mesh)
+    assert any("no parameter matched" in str(x.message) for x in w)
+    assert all(s.spec == P() for s in jax.tree.leaves(sh))
 
 
 def test_tp_inference_matches_replicated():
