@@ -81,6 +81,30 @@ def prefetch(dataset, limit: int, depth: int = 3):
         yield item
 
 
+def _score_batch(params, cfg, images, score: str, smoothing: bool):
+    """(B, H, W, 3) float images → (B, H, W) anomaly scores (traceable)."""
+    if score == "rba" and not smoothing:
+        # fused Pallas tail; exact because the eval path feeds
+        # original-resolution images (crop-only postprocess)
+        from ..models.maskformer import maskformer_infer_rba
+
+        return maskformer_infer_rba(params, cfg, images)
+    out = maskformer_infer(params, cfg, images)
+    logits = out["sem_seg"]
+    if score == "rba":
+        s = rba_score(logits)
+    elif score in ("pebal", "energy"):
+        s = energy_score(logits)
+    elif score == "dense_hybrid":
+        p_ood = jax.nn.softmax(out["ood_pred"], axis=1)[:, 1]
+        s = -jax.nn.logsumexp(logits, axis=1) + jnp.log(p_ood + 1e-9)
+    else:
+        raise ValueError(score)
+    if smoothing:
+        s = _gaussian_blur(s)
+    return s
+
+
 def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = False):
     """Returns a jitted (image_batch) -> (B, H, W) anomaly-score function,
     cached per input shape."""
@@ -90,36 +114,73 @@ def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = 
         def fn(params, images):
             # images arrive uint8 (4x less host→device transfer) and are
             # cast to float on device
-            images = images.astype(jnp.float32)
-            if score == "rba" and not smoothing:
-                # fused Pallas tail; exact because the eval path feeds
-                # original-resolution images (crop-only postprocess)
-                from ..models.maskformer import maskformer_infer_rba
-
-                return maskformer_infer_rba(params, cfg, images)
-            out = maskformer_infer(params, cfg, images)
-            logits = out["sem_seg"]
-            if score == "rba":
-                s = rba_score(logits)
-            elif score in ("pebal", "energy"):
-                s = energy_score(logits)
-            elif score == "dense_hybrid":
-                p_ood = jax.nn.softmax(out["ood_pred"], axis=1)[:, 1]
-                s = -jax.nn.logsumexp(logits, axis=1) + jnp.log(p_ood + 1e-9)
-            else:
-                raise ValueError(score)
-            if smoothing:
-                s = _gaussian_blur(s)
-            return s
+            return _score_batch(params, cfg, images.astype(jnp.float32),
+                                score, smoothing)
 
         return jax.jit(fn)
 
-    def score_fn(images: np.ndarray) -> jax.Array:
+    def score_fn(images) -> jax.Array:
+        if isinstance(images, jax.Array):  # already device-resident
+            return for_shape(tuple(images.shape))(params, images)
         return for_shape(tuple(images.shape))(
             params, jnp.asarray(np.ascontiguousarray(images))
         )
 
+    # the per-shape jitted fn, for callers managing their own uploads
+    # (tools/e2e_throughput.py pipelines device_put from a prefetch thread)
+    score_fn.for_shape = for_shape
     return score_fn
+
+
+def make_cohort_fn(cfg: RbAConfig, params, score: str, smoothing: bool,
+                   bins: int, score_range, transform: str):
+    """Fused cohort scoring for upload-bound sweeps: one jitted dispatch
+    takes a packed (k, H, W, 4) uint8 array (RGB image + label plane),
+    scores each image with a bs-1 lax.scan (batch>1 is slower per image on
+    this model — CLAUDE.md), and accumulates (pos, neg) score histograms +
+    observed min/max entirely on device.  One host→device transfer and one
+    RPC dispatch amortize the tunnel's per-call overhead over k images;
+    nothing full-res ever returns to the host."""
+    from .metrics import histogram_update
+
+    @functools.lru_cache(maxsize=8)
+    def for_shape(shape: Tuple[int, ...]):
+        def fn(params, packed):
+            imgs = packed[..., :3]
+            labs = packed[..., 3]
+
+            def body(carry, xy):
+                pos, neg, lo, hi = carry
+                img, lab = xy
+                s = _score_batch(
+                    params, cfg, img[None].astype(jnp.float32), score, smoothing
+                )[0]
+                dp, dn = histogram_update(
+                    s, lab, bins=bins, score_range=score_range, transform=transform
+                )
+                sf = s.reshape(-1).astype(jnp.float32)
+                scored = lab.reshape(-1) != 255
+                lo = jnp.minimum(lo, jnp.min(jnp.where(scored, sf, jnp.inf)))
+                hi = jnp.maximum(hi, jnp.max(jnp.where(scored, sf, -jnp.inf)))
+                return (pos + dp, neg + dn, lo, hi), None
+
+            init = (
+                jnp.zeros((bins,), jnp.int32),
+                jnp.zeros((bins,), jnp.int32),
+                jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(-jnp.inf, jnp.float32),
+            )
+            (pos, neg, lo, hi), _ = jax.lax.scan(body, init, (imgs, labs))
+            return pos, neg, lo, hi
+
+        return jax.jit(fn)
+
+    def cohort_fn(packed):
+        if not isinstance(packed, jax.Array):
+            packed = jnp.asarray(np.ascontiguousarray(packed))
+        return for_shape(tuple(packed.shape))(params, packed)
+
+    return cohort_fn
 
 
 class OODEvaluator:
@@ -134,6 +195,7 @@ class OODEvaluator:
         self.cfg = cfg
         self.params = params
         self.score_name = score if isinstance(score, str) else None
+        self.smoothing = use_gaussian_smoothing
         if callable(score):
             self.score_fn = score
         else:
@@ -185,7 +247,8 @@ class OODEvaluator:
     # TPU-native streaming path
     # ------------------------------------------------------------------
     def evaluate_dataset(
-        self, dataset, upper_limit: int = 1300, score_range=None
+        self, dataset, upper_limit: int = 1300, score_range=None,
+        cohort: int = 1,
     ) -> Dict[str, float]:
         """Histogram-streaming evaluation: scores never leave the device at
         full resolution.  ~1e-3 metric agreement with the exact path.
@@ -195,7 +258,14 @@ class OODEvaluator:
         scores, so they cannot saturate.  If a custom ``score_range`` (or a
         bounded-score default) does saturate anyway, the evaluation falls
         back to the exact all-pixel path — never silently-distorted
-        metrics."""
+        metrics.
+
+        ``cohort`` > 1 packs that many images (+ labels) into ONE uint8
+        host→device transfer and ONE fused scan dispatch (score + histogram
+        on device) — the production answer to the tunnel's per-call upload
+        overhead, which otherwise bounds real sweeps well below the device
+        rate.  The last partial cohort is padded with all-255 (ignored)
+        labels, so metrics are exactly those of the unpadded loop."""
         transform = (
             "asinh"
             if self.score_name in ("pebal", "energy", "dense_hybrid")
@@ -203,6 +273,49 @@ class OODEvaluator:
             else "linear"
         )
         metrics = StreamingOODMetrics(score_range=score_range, transform=transform)
+        if cohort > 1 and self.score_name is not None:
+            fn = make_cohort_fn(
+                self.cfg, self.params, self.score_name, self.smoothing,
+                metrics.bins, metrics.range, transform,
+            )
+
+            def packed_iter():
+                buf = []
+                for i, sample in enumerate(dataset):
+                    if i >= upper_limit:
+                        break
+                    packed = np.concatenate(
+                        [sample.image.astype(np.uint8),
+                         sample.label.astype(np.uint8)[..., None]], axis=-1,
+                    )
+                    buf.append(packed)
+                    if len(buf) == cohort:
+                        yield jnp.asarray(np.stack(buf))
+                        buf = []
+                if buf:
+                    n_pad = cohort - len(buf)
+                    pad = buf[-1].copy()
+                    pad[..., 3] = 255  # ignored everywhere
+                    yield jnp.asarray(np.stack(buf + [pad] * n_pad))
+
+            class _View:  # prefetch() wants an iterable, uploads in producer
+                def __iter__(self):
+                    return packed_iter()
+
+            for packed in prefetch(_View(), (upper_limit + cohort - 1) // cohort):
+                dp, dn, lo, hi = fn(packed)
+                metrics.absorb(dp, dn, lo, hi, int(np.prod(packed.shape[:3])))
+            if metrics.clipped:
+                import warnings
+
+                warnings.warn(
+                    "streaming histogram saturated; re-running the exact "
+                    "all-pixel path", stacklevel=2,
+                )
+                scores, gts = self.compute_anomaly_scores(dataset, upper_limit)
+                return self.evaluate_ood(scores, gts)
+            m = metrics.compute()
+            return {"auroc": m["AUROC"], "aupr": m["AUPRC"], "fpr95": m["FPR@95TPR"]}
         for sample in prefetch(dataset, upper_limit):
             s = self.score_fn(sample.image[None])
             # uint8 labels: 4x less tunnel traffic; histogram compares ints

@@ -203,6 +203,19 @@ class StreamingOODMetrics:
         if self._px_since_flush >= self._flush_px:
             self._flush()
 
+    def absorb(self, dpos, dneg, smin, smax, n_pixels: int):
+        """Merge device-computed histogram deltas — e.g. from a fused
+        cohort scan (evaluator.make_cohort_fn) that scored k images and
+        histogrammed them in one dispatch.  The deltas must have been
+        computed with this instance's bins/range/transform."""
+        self.pos = self.pos + dpos
+        self.neg = self.neg + dneg
+        self.smin = jnp.minimum(self.smin, smin)
+        self.smax = jnp.maximum(self.smax, smax)
+        self._px_since_flush += int(n_pixels)
+        if self._px_since_flush >= self._flush_px:
+            self._flush()
+
     def _flush(self):
         """Move the device int32 partial histograms into the host int64
         totals (one device→host sync; called every ~2e9 scored pixels)."""

@@ -139,60 +139,112 @@ class OpenPanopticEvaluator:
         return pq_compute(self.pairs, isthing=isthing)
 
 
-def _mask_iou_matrix(pred_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
-    """(P, H, W) × (G, H, W) binary masks → (P, G) IoU."""
+def _mask_iou_matrix(
+    pred_masks: np.ndarray, gt_masks: np.ndarray, iscrowd=None
+) -> np.ndarray:
+    """(P, H, W) × (G, H, W) binary masks → (P, G) IoU.  For crowd gt
+    columns the denominator is the detection area alone (pycocotools
+    maskUtils.iou iscrowd semantics)."""
     p = pred_masks.reshape(len(pred_masks), -1).astype(bool)
     g = gt_masks.reshape(len(gt_masks), -1).astype(bool)
     inter = p.astype(np.float64) @ g.T.astype(np.float64)
     union = p.sum(1)[:, None] + g.sum(1)[None, :] - inter
+    if iscrowd is not None and np.any(iscrowd):
+        parea = np.broadcast_to(p.sum(1)[:, None], union.shape)
+        union = np.where(np.asarray(iscrowd, bool)[None, :], parea, union)
     return inter / np.maximum(union, 1)
 
 
 def mask_average_precision(
     predictions: List[Dict[str, np.ndarray]],  # per image: pred_masks, scores, pred_classes
-    ground_truths: List[Dict[str, np.ndarray]],  # per image: masks, classes
+    ground_truths: List[Dict[str, np.ndarray]],  # per image: masks, classes, [iscrowd]
     num_classes: int,
     # linspace, not arange: pycocotools' exact grid — arange's 0.60000…01
     # would reject an exactly-0.6 IoU at the 0.6 threshold
     iou_thresholds: Sequence[float] = tuple(np.linspace(0.5, 0.95, 10)),
 ) -> Dict[str, float]:
-    """COCO-style mask AP (mean over IoU 0.5:0.95), numpy implementation."""
+    """COCO-style mask AP (mean over IoU 0.5:0.95), numpy implementation
+    replicating pycocotools' evaluateImg/accumulate branch for branch
+    (as vendored at reference evaluation.py:385-468, :560-640):
+
+    * detections sort by descending score with **mergesort** (stable) both
+      per image and across the concatenated record list — score ties keep
+      insertion order, the documented Matlab-compat behavior;
+    * gt segments with ``iscrowd`` are ignore-gts: sorted last, never
+      counted in n_gt, matchable by leftover detections (crowd IoU =
+      intersection / det area, maskUtils.iou semantics) and such matches
+      mark the detection ignored — excluded from BOTH TP and FP cumsums;
+    * within the gt loop an EQUAL IoU replaces the running best (the
+      reference's ``if ious < iou: continue``), so among tied gts the last
+      in (regular-first) order wins; the loop breaks at the first ignore
+      gt once a regular match exists.
+    """
     ap_per_thr = []
     for thr in iou_thresholds:
         aps = []
         for cls in range(num_classes):
-            records = []  # (score, is_tp)
+            records = []  # (score, insertion_idx, is_tp, is_ignored)
             n_gt = 0
             for pred, gt in zip(predictions, ground_truths):
                 gsel = gt["classes"] == cls
                 gmasks = gt["masks"][gsel]
-                n_gt += len(gmasks)
+                crowd = (
+                    gt["iscrowd"][gsel].astype(bool)
+                    if "iscrowd" in gt
+                    else np.zeros(len(gmasks), bool)
+                )
+                n_gt += int((~crowd).sum())
                 psel = pred["pred_classes"] == cls
                 pmasks = pred["pred_masks"][psel]
                 scores = pred["scores"][psel]
-                order = np.argsort(-scores)
+                # ignore-gts (crowd) last, detections by descending score;
+                # both stable (pycocotools kind='mergesort')
+                gorder = np.argsort(crowd, kind="mergesort")
+                gmasks, crowd = gmasks[gorder], crowd[gorder]
+                dorder = np.argsort(-scores, kind="mergesort")
+                iou = (
+                    _mask_iou_matrix(pmasks, gmasks, iscrowd=crowd)
+                    if len(pmasks) and len(gmasks)
+                    else None
+                )
                 matched = np.zeros(len(gmasks), bool)
-                iou = _mask_iou_matrix(pmasks, gmasks) if len(pmasks) and len(gmasks) else None
-                for pi in order:
-                    tp = False
+                for pi in dorder:
+                    m = -1
+                    best = min(thr, 1 - 1e-10)
                     if iou is not None:
-                        cand = np.where(~matched & (iou[pi] >= thr))[0]
-                        if len(cand):
-                            best = cand[np.argmax(iou[pi][cand])]
-                            matched[best] = True
-                            tp = True
-                    records.append((scores[pi], tp))
+                        for gi in range(len(gmasks)):
+                            if matched[gi] and not crowd[gi]:
+                                continue
+                            # matched to a regular gt already, and the
+                            # remaining gts are all ignore: stop
+                            if m > -1 and not crowd[m] and crowd[gi]:
+                                break
+                            if iou[pi, gi] < best:
+                                continue
+                            best = iou[pi, gi]
+                            m = gi
+                    if m == -1:
+                        records.append((scores[pi], len(records), False, False))
+                    else:
+                        matched[m] = True
+                        # a crowd match marks the detection ignored
+                        records.append(
+                            (scores[pi], len(records), not crowd[m], bool(crowd[m]))
+                        )
                 del iou
             if n_gt == 0:
                 continue
             if not records:
                 aps.append(0.0)
                 continue
-            records.sort(key=lambda r: -r[0])
-            tps = np.cumsum([r[1] for r in records])
-            fps = np.cumsum([not r[1] for r in records])
+            # stable descending-score sort of the concatenated records
+            records.sort(key=lambda r: (-r[0], r[1]))
+            is_tp = np.array([r[2] for r in records])
+            is_ig = np.array([r[3] for r in records])
+            tps = np.cumsum(is_tp & ~is_ig)
+            fps = np.cumsum(~is_tp & ~is_ig)
             recall = tps / n_gt
-            precision = tps / np.maximum(tps + fps, 1)
+            precision = tps / (tps + fps + np.spacing(1))
             # 101-point interpolated AP (COCO)
             rc = np.linspace(0, 1, 101)
             prec_interp = np.zeros_like(rc)

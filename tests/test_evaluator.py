@@ -172,3 +172,25 @@ def test_support_surface(rng):
     cm = get_seg_colormap(np.array([[0, 1], [1, 0]]), [(255, 0, 0), (0, 255, 0)])
     np.testing.assert_array_equal(cm[0, 0], [255, 0, 0])
     assert resize_mask(rng.rand(1, 1, 8, 8).astype(np.float32), (16, 16)).shape == (1, 1, 16, 16)
+
+
+def test_evaluate_dataset_cohort_matches_per_image():
+    """The fused cohort path (one packed upload + one scan dispatch per k
+    images, padded last cohort with ignored labels) must produce exactly
+    the per-image streaming metrics — including a non-divisible dataset
+    length (5 images, cohort 2 → one padded cohort)."""
+    cfg = tiny_test_config()
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    ds = SyntheticAnomaly(n=5, hw=(64, 96))
+    ev = OODEvaluator(cfg, params, score="rba")
+
+    per_image = ev.evaluate_dataset(ds)
+    cohort = ev.evaluate_dataset(ds, cohort=2)
+    for k in per_image:
+        np.testing.assert_allclose(cohort[k], per_image[k], atol=1e-9, err_msg=k)
+
+    # upper_limit respected in cohort mode too
+    lim_pi = ev.evaluate_dataset(ds, upper_limit=3)
+    lim_co = ev.evaluate_dataset(ds, upper_limit=3, cohort=2)
+    for k in lim_pi:
+        np.testing.assert_allclose(lim_co[k], lim_pi[k], atol=1e-9, err_msg=k)

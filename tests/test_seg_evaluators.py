@@ -35,7 +35,10 @@ def test_mask_ap_perfect():
               "pred_classes": np.array([0, 1])}]
     gts = [{"masks": masks.copy(), "classes": np.array([0, 1])}]
     res = mask_average_precision(preds, gts, num_classes=2)
-    assert res["AP"] == 1.0 and res["AP50"] == 1.0
+    # pycocotools' epsilon denominator (tp/(tp+fp+np.spacing(1))) puts a
+    # perfect AP a few ulps under 1.0 — replicated exactly
+    np.testing.assert_allclose(res["AP"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(res["AP50"], 1.0, atol=1e-12)
 
 
 def test_mask_ap_mismatch():
