@@ -312,6 +312,12 @@ class RbAConfig:
     # (a config field, not an env var, so two jits of the same cfg can never
     # silently differ on ambient process state)
     fast_math: bool = False
+    # weight-only int8 serving experiment ("none" | "int8"): quantize 2-D
+    # linear kernels per-output-channel before jit (ops/quant.py).  Measured
+    # a no-op on latency — the model's HBM traffic is activation-dominated
+    # (see ops/quant.py docstring + ABLATION.json) — kept as the recorded
+    # negative result per VERDICT r3 task 6.
+    weight_quant: str = "none"
 
     @property
     def sem_seg_head_ignore_value(self) -> int:

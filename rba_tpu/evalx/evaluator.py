@@ -108,6 +108,10 @@ def _score_batch(params, cfg, images, score: str, smoothing: bool):
 def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = False):
     """Returns a jitted (image_batch) -> (B, H, W) anomaly-score function,
     cached per input shape."""
+    if cfg.weight_quant == "int8":
+        from ..ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
 
     @functools.lru_cache(maxsize=32)
     def for_shape(shape: Tuple[int, ...]):
@@ -142,6 +146,11 @@ def make_cohort_fn(cfg: RbAConfig, params, score: str, smoothing: bool,
     RPC dispatch amortize the tunnel's per-call overhead over k images;
     nothing full-res ever returns to the host."""
     from .metrics import histogram_update
+
+    if cfg.weight_quant == "int8":
+        from ..ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
 
     @functools.lru_cache(maxsize=8)
     def for_shape(shape: Tuple[int, ...]):

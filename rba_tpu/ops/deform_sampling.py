@@ -191,18 +191,25 @@ def ms_deform_attn_core(
     sampling_locations: jax.Array,  # (N, Lq, M, L, P, 2) in [0, 1]
     attention_weights: jax.Array,  # (N, Lq, M, L, P) softmaxed over L*P
     use_patch_gather: bool = True,
-    method: str = "auto",  # "auto" | "gather" | "onehot"
+    method="auto",  # "auto" | "gather" | "onehot" | per-level tuple of those
 ) -> jax.Array:  # (N, Lq, M*D)
     n, s, m, d = value.shape
     _, lq, _, nlevels, p, _ = sampling_locations.shape
     assert nlevels == len(spatial_shapes)
     if method == "auto":
-        # onehot's dense (N, M, Lq, HW) row matrix: viable when every level
-        # is small (the released 1-level eval configs: res5 = 32x64 = 2048
-        # cells -> 8x2048x2048 = 33.5M elements, 134 MB fp32); cap at 48M
-        # elements so multi-level / high-res configs keep the gather
-        biggest = max(h * w for h, w in spatial_shapes)
-        method = "onehot" if n * m * lq * biggest <= 48 * 1024 * 1024 else "gather"
+        # Per-level dispatch: onehot's dense (N, M, Lq, HW_l) row matrix is
+        # viable whenever THIS level is small (the released 1-level eval
+        # configs: res5 = 32x64 = 2048 cells -> 8x2048x2048 = 33.5M
+        # elements, 134 MB fp32); cap at 48M elements per level so high-res
+        # levels keep the gather.  Per-level perf at the 3-level train
+        # shapes: tools/perf_deform_multilevel.py (results in CLAUDE.md).
+        method = tuple(
+            "onehot" if n * m * lq * h * w <= 48 * 1024 * 1024 else "gather"
+            for h, w in spatial_shapes
+        )
+    if isinstance(method, str):
+        method = (method,) * nlevels
+    assert len(method) == nlevels
 
     # compute in fp32 — the reference pins the pixel decoder to fp32 under AMP
     value = value.astype(jnp.float32)
@@ -218,7 +225,7 @@ def ms_deform_attn_core(
     out = jnp.zeros((n, lq, m, d), jnp.float32)
     for lid, (h, w) in enumerate(spatial_shapes):
         v = value[:, offsets[lid] : offsets[lid + 1]].reshape(n, h, w, m, d)
-        if method == "onehot":
+        if method[lid] == "onehot":
             out = out + _onehot_matmul_level(
                 v, sampling_locations[:, :, :, lid], attention_weights[:, :, :, lid]
             )

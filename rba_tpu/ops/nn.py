@@ -16,7 +16,13 @@ import numpy as np
 
 
 def linear(params, x, precision=None):
-    y = jnp.dot(x, params["kernel"].astype(x.dtype), precision=precision)
+    if "kernel_q" in params:
+        # weight-only int8 (ops/quant.py): dequant inline so XLA fuses the
+        # convert+scale into the matmul operand read (int8 bytes in HBM)
+        k = params["kernel_q"].astype(x.dtype) * params["kscale"].astype(x.dtype)
+    else:
+        k = params["kernel"].astype(x.dtype)
+    y = jnp.dot(x, k, precision=precision)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(x.dtype)
     return y

@@ -34,6 +34,11 @@ MODES = {
     "parity": dict(compute_dtype="bfloat16", pixel_decoder_dtype="float32", fast_math=False),
     "pd_bf16": dict(compute_dtype="bfloat16", pixel_decoder_dtype="bfloat16", fast_math=False),
     "fast": dict(compute_dtype="bfloat16", pixel_decoder_dtype="bfloat16", fast_math=True),
+    # weight-only int8 on top of fast serving (ops/quant.py experiment)
+    "fast_int8": dict(
+        compute_dtype="bfloat16", pixel_decoder_dtype="bfloat16", fast_math=True,
+        weight_quant="int8",
+    ),
 }
 
 

@@ -48,6 +48,10 @@ def main(argv=None):
         help="MLP lowering (SwinConfig.mlp_impl; 'fused' = Pallas VMEM kernel)",
     )
     ap.add_argument(
+        "--int8", action="store_true",
+        help="weight-only int8 linear kernels (ops/quant.py experiment)",
+    )
+    ap.add_argument(
         "--train",
         action="store_true",
         help="measure the training step (fwd+matcher+losses+bwd+AdamW) instead "
@@ -123,6 +127,11 @@ def main(argv=None):
         return
 
     params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    if args.int8:
+        from rba_tpu.ops.quant import count_quantized, quantize_params_int8
+
+        params = quantize_params_int8(params)
+        print(json.dumps(count_quantized(params)), flush=True)
     img = jnp.asarray(np.random.RandomState(0).rand(args.batch, h, w, 3) * 255, jnp.float32)
 
     @jax.jit
@@ -162,7 +171,7 @@ def main(argv=None):
     print(
         json.dumps(
             {
-                "mode": "fast" if args.fast else "parity",
+                "mode": ("fast" if args.fast else "parity") + ("+int8" if args.int8 else ""),
                 "batch": args.batch,
                 "hw": args.hw,
                 "device_ms_per_img": round(dev_ms, 2),

@@ -37,7 +37,9 @@ def test_boundary_ap():
     preds = [{"pred_masks": m, "scores": np.array([0.9]), "pred_classes": np.array([0])}]
     gts = [{"masks": m.copy(), "classes": np.array([0])}]
     res = boundary_mask_average_precision(preds, gts, num_classes=1)
-    assert res["AP"] == 1.0
+    # pycocotools puts np.spacing(1) in the precision denominator
+    # (seg_evaluators.py:247), so a perfect match reads 1 - 2.2e-16
+    assert abs(res["AP"] - 1.0) < 1e-12
 
 
 def test_prepare_coco_semseg(tmp_path, rng):
