@@ -98,6 +98,16 @@ class PixelDecoderConfig:
     # see ops/deform_sampling._onehot_matmul_level); "auto" picks onehot
     # when every level's HW is small enough for the dense row matrix
     sampling_method: str = "auto"
+    # "bfloat16": materialize the one-hot row matrix in bf16 (fast serving
+    # experiment — halves the path's HBM traffic; ablation-gated).  The
+    # default fp32 is exact vs the gather at HIGHEST precision.
+    sampling_dtype: str = "float32"
+    # per-level element cap for auto one-hot dispatch (see
+    # ops/deform_sampling.ms_deform_attn_core): conservative by default
+    # (training saves the A matrices as autodiff residuals); fast_serving
+    # raises it to 256M so multi-level eval configs get the measured
+    # one-hot wins (tools/perf_deform_multilevel.py)
+    sampling_onehot_cap: int = 48 * 1024 * 1024
 
     @property
     def num_feature_levels(self) -> int:
@@ -737,9 +747,20 @@ def fast_serving(cfg: RbAConfig) -> RbAConfig:
     weights — two orders of magnitude inside the 0.1-pt budget.  The
     dataclass default stays parity (fp32 pixel decoder) because that is
     the reference's own semantics (msdeformattn.py:323-329 pins fp32
-    under AMP) and what the golden tests certify."""
+    under AMP) and what the golden tests certify.
+
+    Also raises the one-hot deform dispatch cap to 256M elements (numerics-
+    neutral — the one-hot path is exact vs the gather; measured wins at the
+    multi-level shapes in tools/perf_deform_multilevel.py).  The cap stays
+    conservative in the dataclass default because training saves the A
+    matrices as autodiff residuals."""
     return dataclasses.replace(
-        cfg, pixel_decoder_dtype="bfloat16", fast_math=True
+        cfg,
+        pixel_decoder_dtype="bfloat16",
+        fast_math=True,
+        pixel_decoder=dataclasses.replace(
+            cfg.pixel_decoder, sampling_onehot_cap=256 * 1024 * 1024
+        ),
     )
 
 

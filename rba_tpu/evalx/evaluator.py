@@ -363,6 +363,74 @@ class OODEvaluator:
         return means, stds
 
 
+def evaluate_dataset_multi(
+    evaluators: Dict[str, "OODEvaluator"], dataset, upper_limit: int = 1300,
+) -> Dict[str, Dict[str, float]]:
+    """Model-fused streaming sweep: upload each image ONCE and score it with
+    every model in ``evaluators`` before moving on.
+
+    Rationale (tools/tunnel_bw.py + tools/e2e_throughput.py): through the
+    tunnel a sweep is upload-bound (~33 MB/s peak vs a 24 img/s device
+    rate), and the reference's model-zoo sweep re-reads the whole dataset
+    per model (evaluate_ood.py:195-235 with the model loop outside).
+    Fusing the model loop INSIDE the image loop amortizes the dominant
+    upload over all models: 5 models ≈ 3× faster sweep at 1024×2048.  All
+    params stay resident in HBM (~0.5 GB/model fp32 — 5 models fit a v5e's
+    16 GB comfortably).
+
+    Returns {model_name: metrics}; a model whose streaming histogram
+    saturates is re-run on the exact all-pixel path, as in
+    ``evaluate_dataset``.
+    """
+    states = {}
+    for name, ev in evaluators.items():
+        transform = (
+            "asinh"
+            if ev.score_name in ("pebal", "energy", "dense_hybrid")
+            else "linear"
+        )
+        states[name] = StreamingOODMetrics(transform=transform)
+
+    class _Uploaded:
+        __slots__ = ("image", "label")
+
+        def __init__(self, sample):
+            # device_put from the prefetch producer thread: the tunnel
+            # transfer of image i+1 overlaps the models' compute on image i
+            self.image = jnp.asarray(
+                np.ascontiguousarray(sample.image[None].astype(np.uint8))
+            )
+            self.label = jnp.asarray(sample.label.astype(np.uint8))
+
+    class _View:
+        def __iter__(self):
+            for i, sample in enumerate(dataset):
+                if i >= upper_limit:
+                    break
+                yield _Uploaded(sample)
+
+    for up in prefetch(_View(), upper_limit, depth=2):
+        for name, ev in evaluators.items():
+            s = ev.score_fn(up.image)
+            states[name].update(s[0], up.label)
+
+    out: Dict[str, Dict[str, float]] = {}
+    for name, ev in evaluators.items():
+        if states[name].clipped:
+            import warnings
+
+            warnings.warn(
+                f"streaming histogram saturated for {name}; re-running the "
+                "exact all-pixel path", stacklevel=2,
+            )
+            scores, gts = ev.compute_anomaly_scores(dataset, upper_limit)
+            out[name] = ev.evaluate_ood(scores, gts)
+            continue
+        m = states[name].compute()
+        out[name] = {"auroc": m["AUROC"], "aupr": m["AUPRC"], "fpr95": m["FPR@95TPR"]}
+    return out
+
+
 def miou(
     pred: np.ndarray, gt: np.ndarray, num_classes: int, ignore: int = 255
 ) -> float:

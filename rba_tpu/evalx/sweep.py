@@ -64,6 +64,11 @@ def parse_args(argv=None):
                         "pixel decoder, the reference's AMP semantics), 'fp32' (everything "
                         "fp32)")
     p.add_argument("--shard", default=None, help="i/n work-list sharding for multi-host sweeps")
+    p.add_argument("--fuse_models", action="store_true",
+                   help="upload each image once and score it with ALL models "
+                        "before the next (streaming path only): amortizes the "
+                        "dominant host->device transfer of upload-bound sweeps "
+                        "over the model zoo (evaluator.evaluate_dataset_multi)")
     return p.parse_args(argv)
 
 
@@ -185,6 +190,41 @@ def main(argv=None):
     if args.shard:
         i, n = (int(v) for v in args.shard.split("/"))
         work = work[i::n]
+
+    if args.fuse_models:
+        if args.tta or args.sliding_window or args.exact or args.store_anomaly_scores:
+            raise SystemExit(
+                "--fuse_models applies to the streaming path only "
+                "(not --tta/--sliding-window/--exact/--store_anomaly_scores)"
+            )
+        from .evaluator import evaluate_dataset_multi
+
+        by_ds: dict = {}
+        for model_dir, ds_name in work:
+            by_ds.setdefault(ds_name, []).append(model_dir)
+        for ds_name, dirs in sorted(by_ds.items()):
+            evs = {}
+            for model_dir in dirs:
+                model_name = os.path.basename(model_dir.rstrip("/"))
+                if ds_name in load_results(args.out_path, model_name):
+                    print(f"skip {model_name}/{ds_name}: already in results.pkl")
+                    continue
+                cfg, params = load_model(model_dir, precision=args.precision)
+                evs[model_name] = OODEvaluator(
+                    cfg, params, score=args.score_func,
+                    use_gaussian_smoothing=args.smoothing,
+                )
+            if not evs:
+                continue
+            print(f"evaluating {len(evs)} models on {ds_name} "
+                  f"({len(datasets[ds_name])} images, fused uploads)")
+            results = evaluate_dataset_multi(
+                evs, datasets[ds_name], upper_limit=args.upper_limit
+            )
+            for model_name, metrics in results.items():
+                print(f"  {model_name}: {metrics}")
+                save_results(args.out_path, model_name, {ds_name: metrics}, args.verbose)
+        return
 
     loaded = {}
     for model_dir, ds_name in work:

@@ -79,6 +79,8 @@ def ms_deform_attn_apply(
     n_heads: int,
     n_points: int,
     sampling_method: str = "auto",
+    sampling_dtype: str = "float32",
+    sampling_onehot_cap: int = 48 * 1024 * 1024,
 ) -> jax.Array:
     n, lq, c = query.shape
     nlevels = len(spatial_shapes)
@@ -102,7 +104,9 @@ def ms_deform_attn_apply(
         + offsets / normalizer[None, None, None, :, None, :]
     )
 
-    out = ms_deform_attn_core(value, spatial_shapes, loc, aw, method=sampling_method)
+    out = ms_deform_attn_core(value, spatial_shapes, loc, aw, method=sampling_method,
+                              sampling_dtype=sampling_dtype,
+                              onehot_cap=sampling_onehot_cap)
     return linear(params["output_proj"], out)
 
 
@@ -123,12 +127,14 @@ def init_encoder_layer(key, d_model: int, d_ffn: int, n_levels: int, n_heads: in
 
 def encoder_layer_apply(
     params, src, pos, reference_points, spatial_shapes, n_heads, n_points,
-    sampling_method: str = "auto",
+    sampling_method: str = "auto", sampling_dtype: str = "float32",
+    sampling_onehot_cap: int = 48 * 1024 * 1024,
 ):
     q = src + pos
     src2 = ms_deform_attn_apply(
         params["self_attn"], q, reference_points, src, spatial_shapes, n_heads, n_points,
-        sampling_method=sampling_method,
+        sampling_method=sampling_method, sampling_dtype=sampling_dtype,
+        sampling_onehot_cap=sampling_onehot_cap,
     )
     src = layer_norm(params["norm1"], src + src2)
     ffn = linear(params["linear2"], jax.nn.relu(linear(params["linear1"], src)))
@@ -261,6 +267,8 @@ def pixel_decoder_apply(
             layer, y, pos_flat, ref_pts, tuple(spatial_shapes),
             cfg.transformer_nheads, cfg.enc_n_points,
             sampling_method=cfg.sampling_method,
+            sampling_dtype=cfg.sampling_dtype,
+            sampling_onehot_cap=cfg.sampling_onehot_cap,
         )
 
     # split levels back to maps
@@ -276,7 +284,10 @@ def pixel_decoder_apply(
     for f, p in zip(fpn_feats[::-1], params["fpn"][::-1]):  # top-down
         x = features[f].astype(dtype)
         lat = group_norm(p["lateral"]["gn"], conv2d(p["lateral"]["conv"], x), num_groups=32)
-        up = resize_bilinear_nhwc(out[-1], (lat.shape[1], lat.shape[2]))
+        # the 2x upsample follows the pixel-decoder compute dtype (fp32 in
+        # parity mode — the reference's fp32-pinned decoder; bf16 in fast)
+        up = resize_bilinear_nhwc(out[-1], (lat.shape[1], lat.shape[2]),
+                                  compute_dtype=dtype)
         z = lat + up
         z = conv2d_3x3_rowtiled(p["output"]["conv"], z)
         z = jax.nn.relu(group_norm(p["output"]["gn"], z, num_groups=32))

@@ -180,6 +180,7 @@ def _window_attention(
     mask: Optional[np.ndarray],  # (nW, N, N) or None
     qk_scale: Optional[float],
     fast_math: bool = False,
+    apply_proj: bool = True,  # False: return pre-proj tokens (proj_canvas)
 ) -> jax.Array:
     b, nhw, nww, n, c = x.shape
     hd = c // num_heads
@@ -204,6 +205,8 @@ def _window_attention(
         vh = jnp.transpose(v, (0, 1, 3, 2, 4))
         out = window_attention_fused_v3(qh, kh, vh, rel_bias, mask, scale)
         out = jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(b, nhw, nww, n, c)
+        if not apply_proj:
+            return out
         return linear(attn_params["proj"], out)
 
     # XLA reference path.
@@ -285,6 +288,8 @@ def _window_attention(
         attn = (num / jnp.sum(num, axis=-1, keepdims=True)).astype(x.dtype)
     out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, nhw, nww, n, c)
+    if not apply_proj:
+        return out
     return linear(attn_params["proj"], out)
 
 
@@ -390,12 +395,24 @@ def swin_block_apply(
                                       qk_scale, fast_math=fast_math)
         x = x6.reshape(b, hp, wp, c)
     else:
+        # "proj_canvas": commute the (position-wise) output projection past
+        # the window-reverse permutation — proj(reverse(x)) == reverse(
+        # proj(x)) exactly (verified bit-identical on CPU) — hoping XLA
+        # folds the reverse transpose into the proj matmul operand instead
+        # of the standalone copy+reshape pair the trace shows after proj
+        # (trace_split: 0.104+0.228 ms per stage-0 block), with proj also
+        # skipping pad tokens on the cropped canvas.  MEASURED (v5e, Swin-B
+        # 1024x2048 fast): 44.0 ms vs 41.2 partition — a 2.8 ms LOSS.  The
+        # reverse does NOT fold into the matmul; instead moving proj out of
+        # the attention neighborhood breaks the attn@v->proj fusion XLA
+        # builds in the windowed layout.  Kept opt-in for the record.
+        proj_canvas = attn_layout == "proj_canvas"
         # partition: (B, Hp/ws, ws, Wp/ws, ws, C) -> (B, nHw, nWw, ws*ws, C)
         xw = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
         xw = jnp.transpose(xw, (0, 1, 3, 2, 4, 5)).reshape(b, hp // ws, wp // ws, ws * ws, c)
 
         xw = _window_attention(params["attn"], xw, num_heads, ws, mask, qk_scale,
-                               fast_math=fast_math)
+                               fast_math=fast_math, apply_proj=not proj_canvas)
 
         # reverse
         x = xw.reshape(b, hp // ws, wp // ws, ws, ws, c)
@@ -405,6 +422,8 @@ def swin_block_apply(
         x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
     if pad_b or pad_r:
         x = x[:, :h, :w]
+    if attn_layout == "proj_canvas":
+        x = linear(params["attn"]["proj"], x)
 
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     x = shortcut + _drop_path(x, drop_path_rate, rngs[0], deterministic)

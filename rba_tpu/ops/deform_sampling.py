@@ -142,6 +142,7 @@ def _onehot_matmul_level(
     loc: jax.Array,  # (N, Lq, M, P, 2)
     attn_w: jax.Array,  # (N, Lq, M, P)
     precision=jax.lax.Precision.HIGHEST,
+    a_dtype=jnp.float32,
 ) -> jax.Array:  # (N, Lq, M, D)
     """One-hot-matmul formulation: fold the 4P (point x corner) bilinear x
     attention weights of each query into one sparse row of a dense
@@ -181,7 +182,17 @@ def _onehot_matmul_level(
         a = a + wgt[..., k : k + 1] * oh
 
     vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))  # (N, M, HW, D)
-    out = jnp.einsum("nmqs,nmsd->nmqd", a, vh, precision=precision)
+    if a_dtype != jnp.float32:
+        # fast-serving variant: the A accumulation chain stays fp32 in
+        # registers (one fused VPU kernel) but the MATERIALIZED (M, Lq, HW)
+        # row matrix is written bf16, halving the dominant HBM traffic of
+        # this path; the MXU matmul then runs native bf16 with fp32
+        # accumulation.  Gated by PixelDecoderConfig.sampling_dtype.
+        a = a.astype(a_dtype)
+        out = jnp.einsum("nmqs,nmsd->nmqd", a, vh.astype(a_dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("nmqs,nmsd->nmqd", a, vh, precision=precision)
     return jnp.transpose(out, (0, 2, 1, 3))  # (N, Lq, M, D)
 
 
@@ -192,19 +203,27 @@ def ms_deform_attn_core(
     attention_weights: jax.Array,  # (N, Lq, M, L, P) softmaxed over L*P
     use_patch_gather: bool = True,
     method="auto",  # "auto" | "gather" | "onehot" | per-level tuple of those
+    sampling_dtype: str = "float32",  # "bfloat16": bf16 one-hot A (fast mode)
+    onehot_cap: int = 48 * 1024 * 1024,
 ) -> jax.Array:  # (N, Lq, M*D)
     n, s, m, d = value.shape
     _, lq, _, nlevels, p, _ = sampling_locations.shape
     assert nlevels == len(spatial_shapes)
     if method == "auto":
         # Per-level dispatch: onehot's dense (N, M, Lq, HW_l) row matrix is
-        # viable whenever THIS level is small (the released 1-level eval
-        # configs: res5 = 32x64 = 2048 cells -> 8x2048x2048 = 33.5M
-        # elements, 134 MB fp32); cap at 48M elements per level so high-res
-        # levels keep the gather.  Per-level perf at the 3-level train
-        # shapes: tools/perf_deform_multilevel.py (results in CLAUDE.md).
+        # viable whenever THIS level is small enough — the gather is
+        # index-rate-bound (cost fixed per level at ~12.8 ns/index) while
+        # onehot scales with HW_l, so onehot wins far beyond the released
+        # 1-level shape.  Measured at the 3-level train shapes (512x1024,
+        # Lq=10752, tools/perf_deform_multilevel.py, v5e): bs1 all-gather
+        # 18.2 ms/layer vs 13.2 (onehot res5) vs 9.9 (onehot res4+res5);
+        # bs4: 83.9 vs 64.4 (onehot res5).  The default 48M-element cap
+        # (192 MB fp32) is deliberately conservative because autodiff saves
+        # the A matrices as residuals (6 encoder layers x the cap, training
+        # memory); inference paths raise it via ``onehot_cap`` (fast_serving
+        # sets PixelDecoderConfig.sampling_onehot_cap = 256M).
         method = tuple(
-            "onehot" if n * m * lq * h * w <= 48 * 1024 * 1024 else "gather"
+            "onehot" if n * m * lq * h * w <= onehot_cap else "gather"
             for h, w in spatial_shapes
         )
     if isinstance(method, str):
@@ -227,7 +246,8 @@ def ms_deform_attn_core(
         v = value[:, offsets[lid] : offsets[lid + 1]].reshape(n, h, w, m, d)
         if method[lid] == "onehot":
             out = out + _onehot_matmul_level(
-                v, sampling_locations[:, :, :, lid], attention_weights[:, :, :, lid]
+                v, sampling_locations[:, :, :, lid], attention_weights[:, :, :, lid],
+                a_dtype=jnp.bfloat16 if sampling_dtype == "bfloat16" else jnp.float32,
             )
             continue
         sampled = gather_fn(v, sampling_locations[:, :, :, lid])  # (N,Lq,M,P,D)

@@ -165,7 +165,7 @@ def resize_bicubic_nhwc(
     return y.astype(x.dtype)
 
 
-def upsample2x_bilinear_nhwc(x: jax.Array) -> jax.Array:
+def upsample2x_bilinear_nhwc(x: jax.Array, compute_dtype=None) -> jax.Array:
     """Exact 2× bilinear (align_corners=False) upsample of (N, H, W, C) as a
     depthwise lhs-dilated convolution instead of gathers.
 
@@ -175,7 +175,13 @@ def upsample2x_bilinear_nhwc(x: jax.Array) -> jax.Array:
     gather path forced the FPN's fp32 3×3 conv output into a degenerate
     T(1,128) layout (4.45 ms for 155 GFLOPs)."""
     n, h, w, c = x.shape
-    dt = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    # default: upcast low-precision inputs to fp32 (parity semantics);
+    # compute_dtype=bf16 keeps the two depthwise conv passes in bf16 (fast
+    # serving — the fp32 intermediates were ~0.3-0.7 ms of pure HBM traffic
+    # on the stride-4 FPN level per the trace split)
+    dt = compute_dtype or (
+        x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    )
     y = x.astype(dt)
     y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], dt)
@@ -211,7 +217,8 @@ def resize_nearest_nhwc(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
 
 
 def resize_bilinear_nhwc(
-    x: jax.Array, out_hw: Tuple[int, int], align_corners: bool = False
+    x: jax.Array, out_hw: Tuple[int, int], align_corners: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Resize (N, H, W, C) images on the H/W axes.  Exact 2× upsamples
     (the FPN top-down path) route to the conv-based kernel — bit-identical
@@ -221,8 +228,10 @@ def resize_bilinear_nhwc(
     if (h_in, w_in) == (h_out, w_out):
         return x
     if not align_corners and (h_out, w_out) == (2 * h_in, 2 * w_in):
-        return upsample2x_bilinear_nhwc(x)
-    compute_dtype = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+        return upsample2x_bilinear_nhwc(x, compute_dtype=compute_dtype)
+    compute_dtype = compute_dtype or (
+        x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+    )
     y = x.astype(compute_dtype)
     y = _interp_axis(y, 1, h_in, h_out, align_corners)
     y = _interp_axis(y, 2, w_in, w_out, align_corners)

@@ -40,8 +40,13 @@ def main(argv=None):
         help="fast serving mode: pixel_decoder_dtype=bfloat16 + fast_math=True",
     )
     ap.add_argument(
-        "--attn-layout", default=None, choices=["partition", "nested", "resident"],
+        "--attn-layout", default=None,
+        choices=["partition", "nested", "resident", "proj_canvas"],
         help="window-attention lowering experiment (SwinConfig.attn_layout)",
+    )
+    ap.add_argument(
+        "--sampling-dtype", default=None, choices=["float32", "bfloat16"],
+        help="one-hot deform A-matrix dtype (PixelDecoderConfig.sampling_dtype)",
     )
     ap.add_argument(
         "--mlp-impl", default=None, choices=["xla", "fused"],
@@ -81,6 +86,13 @@ def main(argv=None):
     if args.mlp_impl:
         cfg = dataclasses.replace(
             cfg, swin=dataclasses.replace(cfg.swin, mlp_impl=args.mlp_impl)
+        )
+    if args.sampling_dtype:
+        cfg = dataclasses.replace(
+            cfg,
+            pixel_decoder=dataclasses.replace(
+                cfg.pixel_decoder, sampling_dtype=args.sampling_dtype
+            ),
         )
 
     h, w = (int(v) for v in args.hw.split("x"))

@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--cap", type=int, default=48 * 1024 * 1024,
+                    help="per-level one-hot element cap for variant selection "
+                         "(the probe passes explicit method tuples, so this "
+                         "only gates which mixes get measured)")
     args = ap.parse_args(argv)
 
     import jax
@@ -56,7 +60,7 @@ def main(argv=None):
         jnp.asarray(rng.randn(n, lq, m, len(shapes) * p), jnp.float32), -1
     ).reshape(n, lq, m, len(shapes), p)
 
-    cap = 48 * 1024 * 1024
+    cap = args.cap
     fits = [n * m * lq * hh * ww <= cap for hh, ww in shapes]
 
     variants = {"all_gather": ("gather",) * 3}

@@ -194,3 +194,61 @@ def test_evaluate_dataset_cohort_matches_per_image():
     lim_co = ev.evaluate_dataset(ds, upper_limit=3, cohort=2)
     for k in lim_pi:
         np.testing.assert_allclose(lim_co[k], lim_pi[k], atol=1e-9, err_msg=k)
+
+
+def test_fused_models_sweep_matches_per_model(tmp_path, monkeypatch):
+    """--fuse_models (one upload scored by every model) must produce the
+    same per-model metrics as the plain model-outer sweep."""
+    import yaml
+
+    from rba_tpu.convert.checkpoint import save_params
+    from rba_tpu.evalx import sweep
+    from rba_tpu.evalx.evaluator import evaluate_dataset_multi
+
+    cfg = tiny_test_config()
+    params_by_name = {}
+    for i, name in enumerate(("m_a", "m_b")):
+        model_dir = tmp_path / "models" / name
+        model_dir.mkdir(parents=True)
+        with open(model_dir / "config.yaml", "w") as f:
+            yaml.safe_dump({"MODEL": {"BACKBONE": {"NAME": "D2SwinTransformer"}}}, f)
+        params = maskformer_init(jax.random.PRNGKey(i), cfg)
+        save_params(str(model_dir / "params.npz"), params)
+        params_by_name[name] = params
+
+    def fake_load(d, precision="fast"):
+        return cfg, params_by_name[os.path.basename(d.rstrip("/"))]
+
+    monkeypatch.setattr(sweep, "load_model", fake_load)
+    import rba_tpu.data.ood_datasets as od
+
+    monkeypatch.setattr(od, "SyntheticAnomaly", lambda: SyntheticAnomaly(n=3, hw=(32, 48)))
+
+    out_fused = str(tmp_path / "fused")
+    sweep.main([
+        "--models_folder", str(tmp_path / "models"),
+        "--datasets_folder", str(tmp_path / "nodata"),
+        "--dataset_mode", "selected", "--selected_datasets", "synthetic",
+        "--out_path", out_fused, "--fuse_models",
+    ])
+    out_plain = str(tmp_path / "plain")
+    sweep.main([
+        "--models_folder", str(tmp_path / "models"),
+        "--datasets_folder", str(tmp_path / "nodata"),
+        "--dataset_mode", "selected", "--selected_datasets", "synthetic",
+        "--out_path", out_plain,
+    ])
+    for name in ("m_a", "m_b"):
+        rf = sweep.load_results(out_fused, name)["synthetic"]
+        rp = sweep.load_results(out_plain, name)["synthetic"]
+        for k in rp:
+            assert abs(rf[k] - rp[k]) < 1e-6, (name, k, rf, rp)
+
+    # direct API: saturation fallback path stays exact-equal per model
+    evs = {
+        n: OODEvaluator(cfg, p) for n, p in params_by_name.items()
+    }
+    res = evaluate_dataset_multi(evs, SyntheticAnomaly(n=2, hw=(32, 48)))
+    assert set(res) == {"m_a", "m_b"}
+    for m in res.values():
+        assert all(np.isfinite(v) for v in m.values())
