@@ -753,13 +753,22 @@ def fast_serving(cfg: RbAConfig) -> RbAConfig:
     neutral — the one-hot path is exact vs the gather; measured wins at the
     multi-level shapes in tools/perf_deform_multilevel.py).  The cap stays
     conservative in the dataclass default because training saves the A
-    matrices as autodiff residuals."""
+    matrices as autodiff residuals.
+
+    sampling_dtype="bfloat16" materializes the one-hot deform row matrix in
+    bf16 (fp32 in-register accumulation, bf16 MXU matmul with fp32 accum):
+    41.2 → 40.6 ms fast-mode device time, and the checkpoint-weight ablation
+    (ABLATION.json fast_bf16s) measures −0.059 AUROC pts vs the fp32 torch
+    reference — marginally CLOSER to it than plain fast (−0.0596), with a
+    smaller max per-pixel score delta (0.0306 vs 0.0321)."""
     return dataclasses.replace(
         cfg,
         pixel_decoder_dtype="bfloat16",
         fast_math=True,
         pixel_decoder=dataclasses.replace(
-            cfg.pixel_decoder, sampling_onehot_cap=256 * 1024 * 1024
+            cfg.pixel_decoder,
+            sampling_onehot_cap=256 * 1024 * 1024,
+            sampling_dtype="bfloat16",
         ),
     )
 
