@@ -128,6 +128,55 @@ def test_full_model_matches_hf():
     _full_model_case(_tiny_hf_model(), 128, 128, seed=1)
 
 
+def test_full_scale_swin_b_matches_hf():
+    """The released Swin-B architecture at full width/depth vs the HF oracle:
+    window 12 with real-valued 23x23 rel-pos tables, embed 128, depths
+    2/2/18/2, heads 4/8/16/32, conv/mask/hidden dim 256, 6 deformable
+    encoder layers, one masked decoder layer (decoder_layers=2), Q=100,
+    19 classes (spec: /root/reference/ckpts/swin_b_1dl/config.yaml, except
+    the 1-level deformable encoder — HF hardcodes 3 levels, so this runs
+    the 3-level train-config variant).  384x384 keeps every stage grid at
+    or above the window so HF's dynamic window-shrink rule (absent from the
+    reference's pad-style Swin) never engages."""
+    from transformers import (
+        Mask2FormerConfig,
+        Mask2FormerForUniversalSegmentation,
+        SwinConfig,
+    )
+
+    torch.manual_seed(0)
+    bb = SwinConfig(
+        image_size=384,
+        patch_size=4,
+        embed_dim=128,
+        depths=[2, 2, 18, 2],
+        num_heads=[4, 8, 16, 32],
+        window_size=12,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+        drop_path_rate=0.0,
+    )
+    hcfg = Mask2FormerConfig(
+        backbone_config=bb,
+        feature_size=256,
+        mask_feature_size=256,
+        hidden_dim=256,
+        encoder_layers=6,
+        decoder_layers=2,
+        num_queries=100,
+        num_labels=19,
+        dim_feedforward=2048,
+        encoder_feedforward_dim=1024,
+        num_attention_heads=8,
+        dropout=0.0,
+    )
+    m = Mask2FormerForUniversalSegmentation(hcfg).eval()
+    with torch.no_grad():  # exercise the 23x23 rel-pos tables with real values
+        for mod in m.modules():
+            if hasattr(mod, "relative_position_bias_table"):
+                mod.relative_position_bias_table.normal_(0, 0.5)
+    _full_model_case(m, 384, 384, seed=1)
+
+
 def test_full_model_matches_hf_padded_and_projected():
     # 132x164 -> stage grids 33x41 / 17x21 / 9x11 / 5x6: every stage >= the
     # window but none divisible, so window padding + shifted-window masks are
