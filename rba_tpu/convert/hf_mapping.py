@@ -208,6 +208,209 @@ def hf_mask2former_to_d2(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def hf_maskformer_v1_to_d2(sd: Dict[str, np.ndarray], n_features: int = 4) -> Dict[str, np.ndarray]:
+    """HF ``MaskFormerForInstanceSegmentation`` (v1 MaskFormer: pad-style
+    Swin → FPN BasePixelDecoder → DETR transformer decoder) → D2 names of
+    the reference's v1 path (maskformer_transformer_decoder.py + DETR
+    transformer.py + pixel_decoder/fpn.py BasePixelDecoder).
+
+    HF's ``maskformer_swin`` replicates the ORIGINAL D2 pad-style Swin
+    (zero-pads sub-window stages instead of shrinking the window like
+    modeling_swin), so this mapping cross-validates exactly the padding
+    semantics the released checkpoints rely on.  FPN numbering: the D2
+    BasePixelDecoder names output convs ``layer_{k}``, laterals
+    ``adapter_{k}``, k=1 at the highest resolution; HF's ``fpn.stem`` is
+    the top (k = n_features) and ``fpn.layers[i]`` walks down from
+    k = n_features - 1."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in sd.items()
+    }
+    out: Dict[str, np.ndarray] = {}
+    fused = set()
+    bb = "model.pixel_level_module.encoder.model."
+    pd = "model.pixel_level_module.decoder."
+    tm = "model.transformer_module."
+    for k, v in sd.items():
+        if k.startswith("criterion.") or k.endswith("relative_position_index"):
+            continue
+        if k.startswith("model.pixel_level_module.encoder.hidden_states_norms."):
+            i, leaf = k.rsplit(".", 2)[-2:]
+            out[f"backbone.norm{i}.{leaf}"] = v
+            continue
+        if k.startswith(bb):
+            r = k[len(bb):]
+            if r.startswith("layernorm."):
+                continue  # SwinModel pooling-head norm, unused by the backbone
+            if r.startswith("embeddings.patch_embeddings.projection."):
+                out["backbone.patch_embed.proj." + r.rsplit(".", 1)[1]] = v
+                continue
+            if r.startswith("embeddings.norm."):
+                out["backbone.patch_embed.norm." + r.rsplit(".", 1)[1]] = v
+                continue
+            m = re.match(r"encoder\.layers\.(\d+)\.downsample\.(norm|reduction)\.(.+)$", r)
+            if m:
+                out[f"backbone.layers.{m.group(1)}.downsample.{m.group(2)}.{m.group(3)}"] = v
+                continue
+            m = re.match(r"encoder\.layers\.(\d+)\.blocks\.(\d+)\.(.+)$", r)
+            if m:
+                pre = f"backbone.layers.{m.group(1)}.blocks.{m.group(2)}"
+                rest = m.group(3)
+                if rest.startswith("attention.self."):
+                    leaf = rest[len("attention.self."):]
+                    if leaf == "relative_position_bias_table":
+                        out[pre + ".attn.relative_position_bias_table"] = v
+                    elif leaf.split(".")[0] in ("query", "key", "value"):
+                        hp = bb + f"encoder.layers.{m.group(1)}.blocks.{m.group(2)}.attention.self."
+                        suffix = leaf.split(".")[1]
+                        if (hp, suffix) not in fused:
+                            fused.add((hp, suffix))
+                            out[pre + ".attn.qkv." + suffix] = _fuse_qkv(
+                                sd, hp + "query.", hp + "key.", hp + "value.", suffix
+                            )
+                elif rest.startswith("attention.output.dense."):
+                    out[pre + ".attn.proj." + rest.rsplit(".", 1)[1]] = v
+                elif rest.startswith("layernorm_before."):
+                    out[pre + ".norm1." + rest.rsplit(".", 1)[1]] = v
+                elif rest.startswith("layernorm_after."):
+                    out[pre + ".norm2." + rest.rsplit(".", 1)[1]] = v
+                elif rest.startswith("intermediate.dense."):
+                    out[pre + ".mlp.fc1." + rest.rsplit(".", 1)[1]] = v
+                elif rest.startswith("output.dense."):
+                    out[pre + ".mlp.fc2." + rest.rsplit(".", 1)[1]] = v
+            continue
+        if k.startswith(pd):
+            r = k[len(pd):]
+            base = "sem_seg_head.pixel_decoder."
+            if r.startswith("mask_projection."):
+                out[base + "mask_features." + r.rsplit(".", 1)[1]] = v
+                continue
+            m = re.match(r"fpn\.stem\.([01])\.(weight|bias)$", r)
+            if m:
+                tail = m.group(2) if m.group(1) == "0" else "norm." + m.group(2)
+                out[base + f"layer_{n_features}.{tail}"] = v
+                continue
+            m = re.match(r"fpn\.layers\.(\d+)\.(proj|block)\.([01])\.(weight|bias)$", r)
+            if m:
+                kk = n_features - 1 - int(m.group(1))
+                name = "adapter" if m.group(2) == "proj" else "layer"
+                tail = m.group(4) if m.group(3) == "0" else "norm." + m.group(4)
+                out[base + f"{name}_{kk}.{tail}"] = v
+                continue
+            continue
+        if k.startswith(tm):
+            r = k[len(tm):]
+            base = "sem_seg_head.predictor."
+            if r == "queries_embedder.weight":
+                out[base + "query_embed.weight"] = v
+                continue
+            if r.startswith("input_projection."):
+                out[base + "input_proj." + r.rsplit(".", 1)[1]] = v
+                continue
+            if r.startswith("decoder.layernorm."):
+                out[base + "transformer.decoder.norm." + r.rsplit(".", 1)[1]] = v
+                continue
+            m = re.match(r"decoder\.layers\.(\d+)\.(.+)$", r)
+            if m:
+                lp = base + f"transformer.decoder.layers.{m.group(1)}."
+                rest = m.group(2)
+                for attn, d2 in (("self_attn", "self_attn"), ("encoder_attn", "multihead_attn")):
+                    if rest.startswith(attn + "."):
+                        leaf = rest[len(attn) + 1:]
+                        if leaf.split(".")[0] in ("q_proj", "k_proj", "v_proj"):
+                            hp = tm + f"decoder.layers.{m.group(1)}.{attn}."
+                            suffix = leaf.split(".")[1]
+                            if (hp, suffix) not in fused:
+                                fused.add((hp, suffix))
+                                out[lp + d2 + ".in_proj_" + suffix] = _fuse_qkv(
+                                    sd, hp + "q_proj.", hp + "k_proj.", hp + "v_proj.", suffix
+                                )
+                        else:
+                            out[lp + d2 + "." + leaf] = v
+                        break
+                else:
+                    rest = rest.replace("self_attn_layer_norm.", "norm1.")
+                    rest = rest.replace("encoder_attn_layer_norm.", "norm2.")
+                    rest = rest.replace("final_layer_norm.", "norm3.")
+                    rest = rest.replace("fc1.", "linear1.").replace("fc2.", "linear2.")
+                    out[lp + rest] = v
+            continue
+        if k.startswith("class_predictor."):
+            out["sem_seg_head.predictor.class_embed." + k.rsplit(".", 1)[1]] = v
+            continue
+        m = re.match(r"mask_embedder\.(\d+)\.0\.(weight|bias)$", k)
+        if m:
+            out[f"sem_seg_head.predictor.mask_embed.layers.{m.group(1)}.{m.group(2)}"] = v
+            continue
+    return out
+
+
+def hf_segformer_to_d2(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HF Segformer encoder state dict → the reference's MixTransformer
+    ``backbone.*`` names (reference backbone/mix_transformer.py, itself the
+    upstream SegFormer MiT; HF's port uses separate key/value linears where
+    the original fuses them as ``kv`` with rows [k; v]).  Accepts either a
+    ``SegformerModel`` state dict (keys start ``encoder.``) or a bare
+    encoder's.  Output feeds convert/d2_mapping.convert_mit_backbone — and
+    makes the ``nvidia/mit-b{0..5}`` hub checkpoints (the pretrained weights
+    the reference's MiT configs start from) loadable."""
+    sd = {
+        k.removeprefix("segformer.").removeprefix("encoder."): (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        )
+        for k, v in sd.items()
+        if ".encoder." in k or k.startswith("encoder.")
+    }
+    out: Dict[str, np.ndarray] = {}
+    fused = set()
+    for k, v in sd.items():
+        m = re.match(r"patch_embeddings\.(\d+)\.(proj|layer_norm)\.(weight|bias)$", k)
+        if m:
+            leaf = "proj" if m.group(2) == "proj" else "norm"
+            out[f"backbone.patch_embed{int(m.group(1)) + 1}.{leaf}.{m.group(3)}"] = v
+            continue
+        m = re.match(r"layer_norm\.(\d+)\.(weight|bias)$", k)
+        if m:
+            out[f"backbone.norm{int(m.group(1)) + 1}.{m.group(2)}"] = v
+            continue
+        m = re.match(r"block\.(\d+)\.(\d+)\.(.+)$", k)
+        if not m:
+            continue
+        pre = f"backbone.block{int(m.group(1)) + 1}.{m.group(2)}"
+        rest = m.group(3)
+        if rest.startswith("attention.self."):
+            leaf = rest[len("attention.self."):]
+            head = leaf.split(".")[0]
+            if head == "query":
+                out[pre + ".attn.q." + leaf.split(".")[1]] = v
+            elif head in ("key", "value"):
+                hp = f"block.{m.group(1)}.{m.group(2)}.attention.self."
+                suffix = leaf.split(".")[1]
+                if (hp, suffix) not in fused:
+                    fused.add((hp, suffix))
+                    out[pre + ".attn.kv." + suffix] = np.concatenate(
+                        [np.asarray(sd[hp + "key." + suffix]),
+                         np.asarray(sd[hp + "value." + suffix])], axis=0
+                    )
+            elif head == "sr":
+                out[pre + ".attn.sr." + leaf.split(".")[1]] = v
+            elif head == "layer_norm":
+                out[pre + ".attn.norm." + leaf.split(".")[1]] = v
+        elif rest.startswith("attention.output.dense."):
+            out[pre + ".attn.proj." + rest.rsplit(".", 1)[1]] = v
+        elif rest.startswith("layer_norm_1."):
+            out[pre + ".norm1." + rest.rsplit(".", 1)[1]] = v
+        elif rest.startswith("layer_norm_2."):
+            out[pre + ".norm2." + rest.rsplit(".", 1)[1]] = v
+        elif rest.startswith("mlp.dense1."):
+            out[pre + ".mlp.fc1." + rest.rsplit(".", 1)[1]] = v
+        elif rest.startswith("mlp.dense2."):
+            out[pre + ".mlp.fc2." + rest.rsplit(".", 1)[1]] = v
+        elif rest.startswith("mlp.dwconv.dwconv."):
+            out[pre + ".mlp.dwconv.dwconv." + rest.rsplit(".", 1)[1]] = v
+    return out
+
+
 def rba_config_from_hf(hf_config):
     """``transformers.Mask2FormerConfig`` (Swin backbone) → RbAConfig.
 

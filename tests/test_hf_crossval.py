@@ -177,6 +177,136 @@ def test_full_scale_swin_b_matches_hf():
     _full_model_case(m, 384, 384, seed=1)
 
 
+def test_mix_transformer_matches_hf_segformer():
+    """MixTransformer (the reference's SegFormer-MiT backbone) vs HF's
+    independent Segformer port, at mit_b0 geometry: overlapping patch
+    embeds, SR-attention (separate HF k/v fused back to the original's kv),
+    dwconv MLPs, per-stage norms.  hf_segformer_to_d2 also makes the
+    nvidia/mit-b{0..5} hub checkpoints loadable."""
+    from transformers import SegformerConfig, SegformerModel
+
+    from rba_tpu.convert.d2_mapping import convert_mit_backbone
+    from rba_tpu.convert.hf_mapping import hf_segformer_to_d2
+    from rba_tpu.models.mix_transformer import MIT_VARIANTS, mit_apply
+
+    torch.manual_seed(0)
+    c = SegformerConfig(
+        num_encoder_blocks=4,
+        depths=[2, 2, 2, 2],
+        sr_ratios=[8, 4, 2, 1],
+        hidden_sizes=[32, 64, 160, 256],
+        patch_sizes=[7, 3, 3, 3],
+        strides=[4, 2, 2, 2],
+        num_attention_heads=[1, 2, 5, 8],
+        mlp_ratios=[4, 4, 4, 4],
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0,
+        reshape_last_stage=True,
+    )
+    m = SegformerModel(c).eval()
+    params = convert_mit_backbone(hf_segformer_to_d2(m.state_dict()))
+    img = _image(64, 96)
+    with torch.no_grad():
+        hf = m(torch.from_numpy(img.transpose(0, 3, 1, 2)), output_hidden_states=True)
+    feats = mit_apply(
+        params, MIT_VARIANTS["mit_b0"], jnp.asarray(img), compute_dtype=jnp.float32
+    )
+    for i, k in enumerate(["res2", "res3", "res4", "res5"]):
+        np.testing.assert_allclose(
+            np.asarray(feats[k]),
+            hf.hidden_states[i].numpy().transpose(0, 2, 3, 1),
+            atol=1e-4,
+            rtol=1e-4,
+        )
+
+
+def _tiny_hf_maskformer_v1(seed=0):
+    from transformers import MaskFormerConfig, MaskFormerForInstanceSegmentation
+    from transformers.models.maskformer import MaskFormerSwinConfig
+
+    torch.manual_seed(seed)
+    bb = MaskFormerSwinConfig(
+        image_size=64,
+        patch_size=4,
+        embed_dim=16,
+        depths=[1, 1, 2, 1],
+        num_heads=[1, 2, 4, 8],
+        window_size=4,
+        drop_path_rate=0.0,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    hcfg = MaskFormerConfig(
+        backbone_config=bb, num_labels=7, fpn_feature_size=32, mask_feature_size=32
+    )
+    hcfg.decoder_config.decoder_layers = 2
+    hcfg.decoder_config.d_model = 32
+    hcfg.decoder_config.decoder_ffn_dim = 64
+    hcfg.decoder_config.decoder_attention_heads = 4
+    hcfg.decoder_config.dropout = 0.0
+    hcfg.decoder_config.attention_dropout = 0.0
+    m = MaskFormerForInstanceSegmentation(hcfg).eval()
+
+    from rba_tpu.config import DecoderConfig, PixelDecoderConfig, RbAConfig, SwinConfig
+
+    cfg = RbAConfig(
+        backbone_name="swin",
+        swin=SwinConfig(
+            patch_size=4, embed_dim=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+            window_size=4, drop_path_rate=0.0,
+        ),
+        pixel_decoder=PixelDecoderConfig(name="BasePixelDecoder", conv_dim=32, mask_dim=32),
+        decoder=DecoderConfig(
+            name="StandardTransformerDecoder", hidden_dim=32,
+            num_queries=m.config.decoder_config.num_queries, nheads=4,
+            dim_feedforward=64, dec_layers_total=2, enc_layers=0, pre_norm=False,
+            mask_dim=32, transformer_in_feature="res5",
+        ),
+        num_classes=7,
+        compute_dtype="float32",
+        pixel_decoder_dtype="float32",
+    )
+    from rba_tpu.convert.d2_mapping import convert_d2_state_dict
+    from rba_tpu.convert.hf_mapping import hf_maskformer_v1_to_d2
+
+    params = convert_d2_state_dict(hf_maskformer_v1_to_d2(m.state_dict()), cfg)
+    return m, params, cfg
+
+
+def _v1_case(h, w, seed):
+    from rba_tpu.models.maskformer import maskformer_forward
+
+    m, params, cfg = _tiny_hf_maskformer_v1()
+    img = _image(h, w, seed)
+    with torch.no_grad():
+        hf = m(pixel_values=torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    ours = maskformer_forward(params, cfg, jnp.asarray(img), need_aux=False)
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_logits"]), hf.class_queries_logits.numpy(),
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_masks"]), hf.masks_queries_logits.numpy(),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_maskformer_v1_matches_hf():
+    """The v1 MaskFormer path (pad-style Swin -> FPN BasePixelDecoder ->
+    DETR StandardTransformerDecoder) vs HF MaskFormerForInstanceSegmentation,
+    whose maskformer_swin replicates the ORIGINAL D2 pad-style Swin."""
+    _v1_case(128, 160, seed=1)
+
+
+def test_maskformer_v1_subwindow_padding_matches_hf():
+    """48x64 -> stage grids 12x16 / 6x8 / 3x4 / 2x2: the last two stages are
+    SMALLER than the window, so the D2 pad behavior (zero-pad to one window,
+    pad tokens participate as unmasked keys) is exercised — exactly the case
+    where HF's regular modeling_swin diverges (it shrinks the window) and
+    the released D2 checkpoints do not."""
+    _v1_case(48, 64, seed=2)
+
+
 def test_full_model_matches_hf_padded_and_projected():
     # 132x164 -> stage grids 33x41 / 17x21 / 9x11 / 5x6: every stage >= the
     # window but none divisible, so window padding + shifted-window masks are
