@@ -99,13 +99,17 @@ def main(argv=None):
     results = {"reference_torch_fp32": {k: round(100 * v, 4) for k, v in m_ref.items()}}
     for mode in args.modes.split(","):
         cfg = dataclasses.replace(base_cfg, **MODES[mode])
-        if mode == "fast_bf16s":
-            cfg = dataclasses.replace(
-                cfg,
-                pixel_decoder=dataclasses.replace(
-                    cfg.pixel_decoder, sampling_dtype="bfloat16"
-                ),
-            )
+        # base_cfg comes through load_model's fast_serving defaults, whose
+        # NESTED pixel_decoder.sampling_dtype="bfloat16" would otherwise leak
+        # into the fp32/parity rows (MODES only overrides top-level fields) —
+        # pin it per mode so each row measures exactly what it claims
+        cfg = dataclasses.replace(
+            cfg,
+            pixel_decoder=dataclasses.replace(
+                cfg.pixel_decoder,
+                sampling_dtype="bfloat16" if mode == "fast_bf16s" else "float32",
+            ),
+        )
         ev = OODEvaluator(cfg, params)
         scores, _ = ev.compute_anomaly_scores(ds)
         m_exact = ev.evaluate_ood(scores, gts)
