@@ -48,6 +48,25 @@ def _get(tree, path):
     return tree
 
 
+def _assert_grad_trees_close(jax_grads, grad_tree, min_leaves):
+    checked = 0
+    for path, want in _leaf_paths(grad_tree):
+        got = np.asarray(_get(jax_grads, path), np.float64)
+        want = np.asarray(want, np.float64)
+        # atol floor 5e-5: leaves whose true gradient nearly cancels (e.g.
+        # input_proj / norm biases under a zero-mean random projection loss,
+        # |g| ~ 1e-6..1e-4) carry fp32 reduction-order noise (up to ~3e-5
+        # observed) — still 4+ orders below any real-bug signal (O(1))
+        scale = max(np.abs(want).max(), 1e-1)
+        np.testing.assert_allclose(
+            got, want, atol=5e-4 * scale, rtol=2e-3,
+            err_msg=f"grad mismatch at {'/'.join(map(str, path))}",
+        )
+        checked += 1
+    # every converted leaf was compared
+    assert checked >= min_leaves, checked
+
+
 def test_full_model_grads_match_hf():
     m = _tiny_hf_model()
     # Mask2Former's deform-attn init (zero sampling_offsets weight +
@@ -100,23 +119,111 @@ def test_full_model_grads_match_hf():
     loss_val = float(scalar_loss(params))
     np.testing.assert_allclose(loss_val, float(loss.detach()), rtol=1e-4)
 
-    checked = 0
-    for path, want in _leaf_paths(grad_tree):
-        got = np.asarray(_get(jax_grads, path), np.float64)
-        want = np.asarray(want, np.float64)
-        # atol floor 1e-5: leaves whose true gradient nearly cancels (e.g.
-        # input_proj biases, |g| ~ 1e-6) differ by fp32 reduction-order
-        # noise (~3e-6 observed) — far below any real-bug signal (O(1))
-        scale = max(np.abs(want).max(), 2e-2)
-        np.testing.assert_allclose(
-            got, want, atol=5e-4 * scale, rtol=2e-3,
-            err_msg=f"grad mismatch at {'/'.join(map(str, path))}",
-        )
-        checked += 1
-    # every converted leaf was compared (backbone + pixel decoder + decoder)
-    assert checked > 100, checked
+    _assert_grad_trees_close(jax_grads, grad_tree, min_leaves=100)
     # the deformable-attention sampling path specifically must carry gradient
     so = grad_tree["sem_seg_head"]["pixel_decoder"]["transformer"]["encoder"][
         "layers"
     ][0]["self_attn"]["sampling_offsets"]["kernel"]
     assert np.abs(np.asarray(so)).max() > 0
+
+
+def test_maskformer_v1_grads_match_hf():
+    """v1 path backward: pad-style Swin (incl. sub-window stages whose pad
+    tokens participate as unmasked keys) -> FPN BasePixelDecoder -> DETR
+    StandardTransformerDecoder, vs HF MaskFormerForInstanceSegmentation."""
+    from rba_tpu.convert.hf_mapping import hf_maskformer_v1_to_d2
+    from tests.test_hf_crossval import _tiny_hf_maskformer_v1
+
+    m, params, cfg = _tiny_hf_maskformer_v1()
+    img = _image(64, 96, seed=4)
+
+    rs = np.random.RandomState(9)
+    with torch.no_grad():
+        probe = m(pixel_values=torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    wl = rs.normal(size=probe.class_queries_logits.shape).astype(np.float32)
+    wm = rs.normal(size=probe.masks_queries_logits.shape).astype(np.float32)
+
+    m.zero_grad(set_to_none=True)
+    out = m(pixel_values=torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    loss = (out.class_queries_logits * torch.from_numpy(wl)).sum() + (
+        out.masks_queries_logits * torch.from_numpy(wm)
+    ).sum()
+    loss.backward()
+    grad_sd = {
+        k: p.grad if p.grad is not None else torch.zeros_like(p)
+        for k, p in m.named_parameters()
+    }
+    grad_tree = convert_d2_state_dict(hf_maskformer_v1_to_d2(grad_sd), cfg)
+
+    from rba_tpu.models.maskformer import maskformer_forward
+
+    def scalar_loss(p):
+        o = maskformer_forward(p, cfg, jnp.asarray(img), need_aux=False)
+        return (o["pred_logits"] * wl).sum() + (o["pred_masks"] * wm).sum()
+
+    np.testing.assert_allclose(
+        float(scalar_loss(params)), float(loss.detach()), rtol=1e-4
+    )
+    _assert_grad_trees_close(jax.grad(scalar_loss)(params), grad_tree, min_leaves=80)
+
+
+def test_mix_transformer_grads_match_hf_segformer():
+    """MiT backbone backward (overlapping patch embeds, SR-attention with
+    the HF k/v split fused back to kv, dwconv MLPs) vs HF Segformer."""
+    from transformers import SegformerConfig, SegformerModel
+
+    from rba_tpu.convert.d2_mapping import convert_mit_backbone
+    from rba_tpu.convert.hf_mapping import hf_segformer_to_d2
+    from rba_tpu.models.mix_transformer import MIT_VARIANTS, mit_apply
+
+    torch.manual_seed(0)
+    c = SegformerConfig(
+        num_encoder_blocks=4,
+        depths=[2, 2, 2, 2],
+        sr_ratios=[8, 4, 2, 1],
+        hidden_sizes=[32, 64, 160, 256],
+        patch_sizes=[7, 3, 3, 3],
+        strides=[4, 2, 2, 2],
+        num_attention_heads=[1, 2, 5, 8],
+        mlp_ratios=[4, 4, 4, 4],
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0,
+        reshape_last_stage=True,
+    )
+    m = SegformerModel(c).eval()
+    params = convert_mit_backbone(hf_segformer_to_d2(m.state_dict()))
+    img = _image(64, 96, seed=5)
+
+    rs = np.random.RandomState(10)
+    with torch.no_grad():
+        probe = m(torch.from_numpy(img.transpose(0, 3, 1, 2)), output_hidden_states=True)
+    ws = [
+        rs.normal(size=h.shape).astype(np.float32) for h in probe.hidden_states
+    ]
+
+    m.zero_grad(set_to_none=True)
+    out = m(torch.from_numpy(img.transpose(0, 3, 1, 2)), output_hidden_states=True)
+    loss = sum(
+        (h * torch.from_numpy(w)).sum() for h, w in zip(out.hidden_states, ws)
+    )
+    loss.backward()
+    grad_sd = {
+        k: p.grad if p.grad is not None else torch.zeros_like(p)
+        for k, p in m.named_parameters()
+    }
+    grad_tree = convert_mit_backbone(hf_segformer_to_d2(grad_sd))
+
+    def scalar_loss(p):
+        feats = mit_apply(
+            p, MIT_VARIANTS["mit_b0"], jnp.asarray(img), compute_dtype=jnp.float32
+        )
+        return sum(
+            (feats[k] * w.transpose(0, 2, 3, 1)).sum()
+            for k, w in zip(["res2", "res3", "res4", "res5"], ws)
+        )
+
+    np.testing.assert_allclose(
+        float(scalar_loss(params)), float(loss.detach()), rtol=1e-4
+    )
+    _assert_grad_trees_close(jax.grad(scalar_loss)(params), grad_tree, min_leaves=60)

@@ -88,3 +88,75 @@ def test_fixed_matcher_wiring(rng):
     out = maskformer_forward(params, cfg, x)
     losses = criterion(cfg, jax.random.PRNGKey(1), out, batch)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_full_optimizer_chain_matches_torch_adamw():
+    """The whole update math — global-norm clip → Adam moments → decoupled
+    weight decay → per-group LR multiplier → WarmupPolyLR — against
+    torch.optim.AdamW driven exactly like the reference trainer
+    (clip_grad_norm_ over all params, per-group lr = mult·schedule(t),
+    decay only on decay-eligible leaves), over steps that cross the warmup
+    boundary.  Group ASSIGNMENT parity is covered by
+    test_optimizer_param_groups; this pins the arithmetic: optax's
+    add_decayed_weights-then-lr-scale equals torch AdamW's
+    p·(1−lr_g·wd) decoupled decay because both multiply decay by the
+    group learning rate."""
+    import torch
+
+    from rba_tpu.train.optimizer import _is_backbone, _is_no_decay, _path_str
+
+    cfg = dataclasses.replace(
+        tiny_test_config(),
+        solver=SolverConfig(
+            base_lr=3e-3, weight_decay=0.05, backbone_multiplier=0.1,
+            clip_gradients=True, clip_value=0.01, max_iter=50,
+            warmup_iters=3, warmup_factor=0.1,
+        ),
+    )
+    params = maskformer_init(jax.random.PRNGKey(0), cfg)
+    tx = build_optimizer(cfg, params)
+    sched = poly_lr_schedule(cfg.solver)
+
+    leaves_p, treedef = jax.tree_util.tree_flatten_with_path(params)
+    paths = [_path_str(p) for p, _ in leaves_p]
+    tparams = [
+        torch.nn.Parameter(torch.from_numpy(np.asarray(v, np.float32).copy()))
+        for _, v in leaves_p
+    ]
+    opt = torch.optim.AdamW(
+        [
+            {
+                "params": [tp],
+                "lr": 1.0,  # set per step from the schedule
+                "weight_decay": 0.0 if _is_no_decay(path) else cfg.solver.weight_decay,
+            }
+            for tp, path in zip(tparams, paths)
+        ],
+        betas=(0.9, 0.999),
+        eps=1e-8,
+    )
+
+    rs = np.random.RandomState(3)
+    opt_state = tx.init(params)
+    for t in range(6):
+        grads_np = [rs.randn(*np.shape(v)).astype(np.float32) for _, v in leaves_p]
+        gtree = jax.tree_util.tree_unflatten(treedef, [jnp.asarray(g) for g in grads_np])
+        updates, opt_state = tx.update(gtree, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        for tp, g in zip(tparams, grads_np):
+            tp.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_(tparams, cfg.solver.clip_value)
+        lr_t = float(sched(t))
+        for group, path in zip(opt.param_groups, paths):
+            group["lr"] = lr_t * (
+                cfg.solver.backbone_multiplier if _is_backbone(path) else 1.0
+            )
+        opt.step()
+
+    got = jax.tree_util.tree_leaves(params)
+    for g, tp, path in zip(got, tparams, paths):
+        np.testing.assert_allclose(
+            np.asarray(g), tp.detach().numpy(), rtol=2e-5, atol=1e-7,
+            err_msg=f"param drift at {path}",
+        )
