@@ -193,21 +193,37 @@ def _window_attention(
     rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, num_heads)
     rel_bias = jnp.transpose(rel_bias, (2, 0, 1))  # (nh, N, N)
 
-    qkv = qkv.reshape(b, nhw * nww, n, 3, num_heads, hd)
-    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]  # (B, nW, N, nh, hd)
-
     if _use_fused_attention():
         # fused Pallas path: scores never materialize in HBM
         from ..ops.pallas.window_attention import window_attention_fused_v3
 
-        qh = jnp.transpose(q, (0, 1, 3, 2, 4))  # (B, nW, nh, N, hd)
-        kh = jnp.transpose(k, (0, 1, 3, 2, 4))
-        vh = jnp.transpose(v, (0, 1, 3, 2, 4))
+        qkv5 = qkv.reshape(b, nhw * nww, n, 3, num_heads, hd)
+        q5, k5, v5 = qkv5[..., 0, :, :], qkv5[..., 1, :, :], qkv5[..., 2, :, :]
+        qh = jnp.transpose(q5, (0, 1, 3, 2, 4))  # (B, nW, nh, N, hd)
+        kh = jnp.transpose(k5, (0, 1, 3, 2, 4))
+        vh = jnp.transpose(v5, (0, 1, 3, 2, 4))
         out = window_attention_fused_v3(qh, kh, vh, rel_bias, mask, scale)
         out = jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(b, nhw, nww, n, c)
         if not apply_proj:
             return out
         return linear(attn_params["proj"], out)
+
+    # The batch dim is FOLDED into the window axis for the whole XLA
+    # attention chain (einsums see ONE merged W = B·nW axis; the mask/bias
+    # adds run on a free leading-dim reshape view).  With a separate batch
+    # axis, layout assignment orders the qkv tensor's major dims
+    # (B, nW, qkv, heads) differently on the matmul-output and slice sides:
+    # at B = 1 the reorder is a bitcast (moving a size-1 axis is free), but
+    # at B >= 2 it materializes as explicit qkv copies (~1.1 ms per stage-0
+    # block in the batch-2 trace).  Measured outcome (Swin-B 1024×2048 fast,
+    # batch 2): the copies disappear from the HLO but the direct-call trace
+    # split is near-neutral (formatting 26.7 vs 27.3 ms/inference — the
+    # attn-bias fusion absorbs most of the relayout), and devtime reads
+    # 54.3 ms/img (batch 1: 40.35, unchanged — the B=1 graph is identical).
+    # Kept: identical arithmetic, simpler einsums, never worse, and batched
+    # TRAINING (bs4 sweet spot) shares this path.
+    qkv = qkv.reshape(b * nhw * nww, n, 3, num_heads, hd)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]  # (W, N, nh, hd)
 
     # XLA reference path.
     #
@@ -235,7 +251,7 @@ def _window_attention(
     # in fp32 and writes bf16) — keep its logits fp32 even though the
     # default factorized path materializes compute-dtype logits
     score_t = jnp.float32 if (strict and not fast) or fused else x.dtype
-    attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k, preferred_element_type=score_t)
+    attn = jnp.einsum("wqhd,wkhd->whqk", q * scale, k, preferred_element_type=score_t)
 
     if fused:
         # fused add+softmax kernel (opt-in): identical fp32 math, one read
@@ -251,13 +267,21 @@ def _window_attention(
         # because its blocks are large and its per-step work is ~ms-scale.
         from ..ops.pallas.masked_softmax import masked_softmax_bf16
 
-        attn = masked_softmax_bf16(attn, rel_bias, mask, out_dtype=x.dtype)
+        attn = masked_softmax_bf16(
+            attn.reshape(b, nhw * nww, num_heads, n, n), rel_bias, mask,
+            out_dtype=x.dtype,
+        ).reshape(b * nhw * nww, num_heads, n, n)
     elif fast or strict:
         sm_t = x.dtype if fast else jnp.float32
-        attn = attn.astype(sm_t) + rel_bias[None, None].astype(sm_t)
+        a5 = attn.astype(sm_t).reshape(b, nhw * nww, num_heads, n, n)
+        a5 = a5 + rel_bias[None, None].astype(sm_t)
         if mask is not None:
-            attn = attn + jnp.asarray(mask, sm_t)[None, :, None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            a5 = a5 + jnp.asarray(mask, sm_t)[None, :, None]
+        attn = (
+            jax.nn.softmax(a5, axis=-1)
+            .astype(x.dtype)
+            .reshape(b * nhw * nww, num_heads, n, n)
+        )
     else:
         # Factorized fp32 softmax:
         #   softmax(s + b + mask) = exp(s − max_k s) · exp(b − max_k b)
@@ -276,7 +300,7 @@ def _window_attention(
         s32 = attn.astype(jnp.float32)
         m = jnp.max(s32, axis=-1, keepdims=True)
         eb = jnp.exp(rel_bias - jnp.max(rel_bias, axis=-1, keepdims=True))
-        num = jnp.exp(s32 - m) * eb[None, None]
+        num = jnp.exp(s32 - m) * eb[None]  # (W, nh, N, N)
         if mask is not None:
             # Invariant: every attention row keeps >= 1 unmasked key (Swin
             # shift masks always leave the diagonal at 0), else num sums to
@@ -284,9 +308,11 @@ def _window_attention(
             # degrades to uniform.  swin_attention_mask guarantees this by
             # construction (mask[q, q] == 0 for all q).
             keep = jnp.asarray((mask == 0).astype(np.float32))
-            num = num * keep[None, :, None]
+            num = (
+                num.reshape(b, nhw * nww, num_heads, n, n) * keep[None, :, None]
+            ).reshape(b * nhw * nww, num_heads, n, n)
         attn = (num / jnp.sum(num, axis=-1, keepdims=True)).astype(x.dtype)
-    out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum("whqk,wkhd->wqhd", attn, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, nhw, nww, n, c)
     if not apply_proj:
         return out

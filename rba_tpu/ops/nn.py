@@ -119,14 +119,19 @@ def conv2d_3x3_rowtiled(params, x, rows_per_tile: int = 8):
     with the batched emitter).  Falls back to the plain conv when the shape
     doesn't tile."""
     n, h, w, c = x.shape
-    if n != 1 or h % rows_per_tile or h <= rows_per_tile:
+    if h % rows_per_tile or h <= rows_per_tile:
         return conv2d(params, x, padding=1)
+    # batch images fold into the same tile axis (n·tiles conv batch): small
+    # true batches (2-8) still land batch-in-sublanes emitters at <=50%
+    # sublane utilization, the folded form keeps the batched emitter
     tiles = h // rows_per_tile
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     idx = (
         np.arange(tiles)[:, None] * rows_per_tile + np.arange(rows_per_tile + 2)[None, :]
     ).reshape(-1)
-    xt = jnp.take(xp[0], jnp.asarray(idx), axis=0).reshape(tiles, rows_per_tile + 2, w, c)
+    xt = jnp.take(xp, jnp.asarray(idx), axis=1).reshape(
+        n * tiles, rows_per_tile + 2, w, c
+    )
     y = jax.lax.conv_general_dilated(
         xt,
         params["kernel"].astype(x.dtype),

@@ -77,6 +77,7 @@ def main(argv=None):
     ap.add_argument("--config", default="/root/reference/ckpts/swin_b_1dl/config.yaml")
     ap.add_argument("--hw", default="1024x2048")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1, help="images per inference")
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--top", type=int, default=25)
@@ -105,7 +106,9 @@ def main(argv=None):
         from rba_tpu.ops.quant import quantize_params_int8
 
         params = quantize_params_int8(params)
-    img = jnp.asarray(np.random.RandomState(0).rand(1, h, w, 3) * 255, jnp.float32)
+    img = jnp.asarray(
+        np.random.RandomState(0).rand(args.batch, h, w, 3) * 255, jnp.float32
+    )
 
     # Direct (non-scan) calls: ops inside lax.scan get NO per-HLO events in
     # the xplane (verified on this image with the CPU backend), and device-
@@ -136,6 +139,7 @@ def main(argv=None):
         "hw": args.hw,
         "mode": ("fast" if args.fast else "parity") + ("+int8" if args.int8 else ""),
         "iters": args.iters,
+        "batch": args.batch,
         "backend": jax.default_backend(),
         "category_ms_per_inference": dict(
             sorted(per_inf.items(), key=lambda kv: -kv[1])

@@ -118,3 +118,21 @@ def test_pixel_decoder_shapes():
     assert mask_features.shape == (2, 16, 24, cfg.pixel_decoder.mask_dim)
     assert enc_feat.shape == (2, 8, 12, cfg.pixel_decoder.conv_dim)
     assert len(ms) == 1 and ms[0].shape == (2, 8, 12, cfg.pixel_decoder.conv_dim)
+
+
+def test_conv2d_3x3_rowtiled_matches_plain_conv():
+    """The manual space-to-batch 3x3 conv is bit-equivalent arithmetic per
+    output pixel for ANY batch (images fold into the tile axis), and falls
+    back to the plain conv when rows don't tile."""
+    from rba_tpu.ops.nn import conv2d, conv2d_3x3_rowtiled
+
+    rs = np.random.RandomState(0)
+    params = {
+        "kernel": jnp.asarray(rs.randn(3, 3, 5, 7).astype(np.float32)),
+        "bias": jnp.asarray(rs.randn(7).astype(np.float32)),
+    }
+    for n, h, w in [(1, 16, 12), (2, 16, 12), (3, 24, 8), (2, 13, 8)]:
+        x = jnp.asarray(rs.randn(n, h, w, 5).astype(np.float32))
+        got = conv2d_3x3_rowtiled(params, x)
+        want = conv2d(params, x, padding=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
