@@ -411,6 +411,38 @@ def hf_segformer_to_d2(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def hf_vitdet_to_d2(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HF ``VitDetModel`` state dict → the reference's D2 ViTDet
+    ``backbone.*`` names (reference backbone/vit.py; HF
+    transformers/models/vitdet is an independent port of the same
+    upstream ViTDet).  Output feeds convert/d2_mapping.convert_vit_backbone.
+
+    Verified semantic parity points (transformers 4.57 modeling_vitdet.py):
+    abs-pos always stores the cls token and strips it (has_cls_token=True,
+    bicubic align_corners=False resample — matches models/vit.py
+    vit_apply); rel-pos tables resample linearly to 2·max(q,k)−1
+    (get_rel_pos ↔ models/vit.py _rel_pos_resampled); the residual
+    bottleneck's channel LayerNorms match _ln over NHWC."""
+    sd = {
+        k.removeprefix("vitdet."): (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        )
+        for k, v in sd.items()
+    }
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "embeddings.position_embeddings":
+            out["backbone.pos_embed"] = v
+        elif k.startswith("embeddings.projection."):
+            out["backbone.patch_embed.proj." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("encoder.layer."):
+            i, sub = k[len("encoder.layer."):].split(".", 1)
+            if sub.startswith("attention."):
+                sub = "attn." + sub[len("attention."):]
+            out[f"backbone.blocks.{i}.{sub}"] = v
+    return out
+
+
 def rba_config_from_hf(hf_config):
     """``transformers.Mask2FormerConfig`` (Swin backbone) → RbAConfig.
 

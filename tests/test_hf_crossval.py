@@ -315,3 +315,78 @@ def test_full_model_matches_hf_padded_and_projected():
     # live HF module around HF's unregistered-list quirk).
     m = _tiny_hf_model(hidden_dim=24, decoder_layers=4, num_labels=5, seed=3)
     _full_model_case(m, 132, 164, seed=5)
+
+
+# ---------------------------------------------------------------------------
+# ViTDet backbone vs HF VitDetModel (independent port of the same upstream)
+# ---------------------------------------------------------------------------
+
+def _tiny_hf_vitdet(seed=0, image_size=48, pretrain=32):
+    from transformers import VitDetConfig, VitDetModel
+
+    torch.manual_seed(seed)
+    hcfg = VitDetConfig(
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        window_block_indices=[0, 2],
+        residual_block_indices=[1],
+        use_relative_position_embeddings=True,
+        window_size=2,
+        pretrain_image_size=pretrain,
+        image_size=image_size,
+        patch_size=16,
+        drop_path_rate=0.0,
+    )
+    m = VitDetModel(hcfg).eval()
+    # HF zero-inits pos_embed and the rel-pos tables — randomize EVERY
+    # parameter so the comparison actually exercises them.
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    return m
+
+
+def _vitdet_case(image_hw, seed):
+    from rba_tpu.convert.d2_mapping import convert_vit_backbone
+    from rba_tpu.convert.hf_mapping import hf_vitdet_to_d2
+    from rba_tpu.models.vit import ViTConfig, vit_apply
+
+    m = _tiny_hf_vitdet(seed=seed)
+    params = convert_vit_backbone(hf_vitdet_to_d2(m.state_dict()))
+    cfg = ViTConfig(
+        patch_size=16,
+        embed_dim=32,
+        depth=4,
+        num_heads=4,
+        window_size=2,
+        window_block_indexes=(0, 2),
+        residual_block_indexes=(1,),
+        pretrain_img_size=32,
+        pretrain_use_cls_token=True,  # HF stores n^2+1 and strips the cls slot
+    )
+    h, w = image_hw
+    img = _image(h, w, seed=seed + 10)
+    with torch.no_grad():
+        hf = m(torch.from_numpy(img.transpose(0, 3, 1, 2))).last_hidden_state
+    ours = vit_apply(params, cfg, jnp.asarray(img), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours["last_feat"]),
+        hf.numpy().transpose(0, 2, 3, 1),
+        atol=2e-5,
+        rtol=1e-4,
+    )
+
+
+def test_vitdet_backbone_matches_hf():
+    """Grid 3x3 from a 2x2 pretrain grid: the bicubic abs-pos resample path
+    (get_absolute_positions, align_corners=False) + window padding 3->4 on
+    the ws=2 window blocks + the residual bottleneck block."""
+    _vitdet_case((48, 48), seed=3)
+
+
+def test_vitdet_backbone_matches_hf_relpos_resample():
+    """Grid 2x2: global-block rel-pos tables are stored at the 3x3
+    image-size grid (2*3-1 = 5 entries) so q_size 2 forces the linear
+    rel-pos resample (get_rel_pos) on both sides; abs-pos needs no resample."""
+    _vitdet_case((32, 32), seed=4)
