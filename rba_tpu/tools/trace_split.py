@@ -80,6 +80,13 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1, help="images per inference")
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument(
+        "--train",
+        action="store_true",
+        help="split the TRAIN step (fwd+matcher+losses+bwd+AdamW) instead of "
+        "inference; --hw is the crop size, --batch the global batch "
+        "(mirrors devtime --train's synthetic batch)",
+    )
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--keep", action="store_true", help="keep the trace dir")
@@ -101,6 +108,36 @@ def main(argv=None):
     if args.fast:
         cfg = fast_serving(cfg)
     h, w = (int(v) for v in args.hw.split("x"))
+
+    if args.train:
+        from ..parallel.mesh import make_mesh, shard_batch
+        from ..train.train_step import make_train_state, make_train_step
+
+        mesh = make_mesh()
+        state = make_train_state(jax.random.PRNGKey(0), cfg, mesh)
+        step = make_train_step(cfg, mesh)
+        b, t = args.batch, min(16, cfg.decoder.num_queries)
+        rng = np.random.RandomState(0)
+        batch = shard_batch(mesh, {
+            "images": jnp.asarray(rng.rand(b, h, w, 3) * 255, jnp.float32),
+            "gt_labels": jnp.asarray(rng.randint(0, cfg.num_classes, (b, t)), jnp.int32),
+            "gt_masks": jnp.asarray((rng.rand(b, t, h, w) > 0.7).astype(np.float32)),
+            "gt_valid": jnp.asarray(np.ones((b, t), np.float32)),
+        })
+        # two warmup calls: the second may be pjit's second compile (CLAUDE.md)
+        state, m = step(state, batch)
+        state, m = step(state, batch)
+        float(m["total"])
+
+        logdir = args.logdir or tempfile.mkdtemp(prefix="rba_trace_")
+        jax.profiler.start_trace(logdir)
+        for _ in range(args.iters):
+            state, m = step(state, batch)
+        float(m["total"])
+        jax.profiler.stop_trace()
+        _report(args, logdir, mode="train")
+        return
+
     params = maskformer_init(jax.random.PRNGKey(0), cfg)
     if args.int8:
         from rba_tpu.ops.quant import quantize_params_int8
@@ -127,6 +164,12 @@ def main(argv=None):
     float(v)
     jax.profiler.stop_trace()
 
+    return _report(args, logdir, mode="fast" if args.fast else "parity")
+
+
+def _report(args, logdir, mode):
+    import jax
+
     paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                              recursive=True))
     if not paths:
@@ -137,7 +180,7 @@ def main(argv=None):
     out = {
         "config": os.path.basename(os.path.dirname(args.config)),
         "hw": args.hw,
-        "mode": ("fast" if args.fast else "parity") + ("+int8" if args.int8 else ""),
+        "mode": mode + ("+int8" if args.int8 else ""),
         "iters": args.iters,
         "batch": args.batch,
         "backend": jax.default_backend(),
