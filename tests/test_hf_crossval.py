@@ -390,3 +390,106 @@ def test_vitdet_backbone_matches_hf_relpos_resample():
     image-size grid (2*3-1 = 5 entries) so q_size 2 forces the linear
     rel-pos resample (get_rel_pos) on both sides; abs-pos needs no resample."""
     _vitdet_case((32, 32), seed=4)
+
+
+# ---------------------------------------------------------------------------
+# Core op: multi-scale deformable attention sampling vs HF's independent
+# pure-torch implementation (transformers/models/mask2former/
+# modeling_mask2former.py::multi_scale_deformable_attention).  The in-repo
+# goldens for this op (tests/test_deform_sampling.py) compare against a
+# torch_refs re-build of the reference's grid_sample fallback
+# (/root/reference/.../ops/functions/ms_deform_attn_func.py:52-72); a shared
+# misreading of grid_sample align_corners / padding semantics would pass
+# those.  HF's function was written independently and has the exact same
+# (value, spatial_shapes, locations, weights) -> (B, Lq, M*D) contract.
+# ---------------------------------------------------------------------------
+
+
+def _deform_inputs(seed, n=2, m=4, d=8, p=3, lq=9, shapes=((6, 9), (3, 5), (2, 2))):
+    r = np.random.RandomState(seed)
+    s = sum(h * w for h, w in shapes)
+    value = r.randn(n, s, m, d).astype(np.float32)
+    # include out-of-bounds locations to pin the zero-padding rule
+    loc = r.uniform(-0.25, 1.25, size=(n, lq, m, len(shapes), p, 2)).astype(np.float32)
+    aw = r.rand(n, lq, m, len(shapes), p).astype(np.float32)
+    aw = aw / aw.sum(axis=(3, 4), keepdims=True)
+    return value, loc, aw, shapes
+
+
+def _hf_deform(value, loc, aw, shapes):
+    from transformers.models.mask2former.modeling_mask2former import (
+        multi_scale_deformable_attention,
+    )
+
+    with torch.no_grad():
+        out = multi_scale_deformable_attention(
+            torch.from_numpy(value),
+            list(shapes),
+            torch.from_numpy(loc),
+            torch.from_numpy(aw),
+        )
+    return out.numpy()
+
+
+@pytest.mark.parametrize(
+    "method", ["gather", "onehot", "takealong"], ids=["patch-gather", "onehot-matmul", "take-along"]
+)
+def test_deform_core_matches_hf(method):
+    """All three TPU lowerings (deform_sampling.py) against the HF oracle at
+    a 3-level shape with out-of-bounds sample points."""
+    from rba_tpu.ops.deform_sampling import ms_deform_attn_core
+
+    value, loc, aw, shapes = _deform_inputs(seed=0)
+    want = _hf_deform(value, loc, aw, shapes)
+    kw = dict(method=method)
+    if method == "takealong":
+        kw = dict(method="gather", use_patch_gather=False)
+    got = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw), **kw)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [5, 16, 33])
+def test_deform_core_matches_hf_channel_sizes(d):
+    """Odd / non-tile channel counts, mirroring the reference's ops/test.py
+    channel sweep — but with HF as the oracle."""
+    from rba_tpu.ops.deform_sampling import ms_deform_attn_core
+
+    value, loc, aw, shapes = _deform_inputs(seed=d, d=d, shapes=((4, 7),), p=4)
+    want = _hf_deform(value, loc, aw, shapes)
+    got = np.asarray(
+        ms_deform_attn_core(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(aw))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_core_grads_match_hf():
+    """Backward parity: JAX autodiff of our lowering vs torch autograd of
+    HF's grid_sample formulation, for all three inputs.  This is the
+    cross-framework analogue of the reference's handwritten-CUDA-backward
+    gradcheck (ops/test.py:60-89)."""
+    from transformers.models.mask2former.modeling_mask2former import (
+        multi_scale_deformable_attention,
+    )
+
+    from rba_tpu.ops.deform_sampling import ms_deform_attn_core
+
+    value, loc, aw, shapes = _deform_inputs(seed=7, n=1, m=2, d=4, p=2, lq=5,
+                                            shapes=((5, 8), (3, 3)))
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    ta = torch.from_numpy(aw).requires_grad_(True)
+    (multi_scale_deformable_attention(tv, list(shapes), tl, ta) ** 2).sum().backward()
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn_core(v, shapes, l, a) ** 2)
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw)
+    )
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-4)
+    # grid_sample's backward produces zero location-gradient for samples that
+    # land outside the padded map, matching the where-mask in our forward.
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-4)
