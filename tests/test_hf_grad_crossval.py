@@ -227,3 +227,54 @@ def test_mix_transformer_grads_match_hf_segformer():
         float(scalar_loss(params)), float(loss.detach()), rtol=1e-4
     )
     _assert_grad_trees_close(jax.grad(scalar_loss)(params), grad_tree, min_leaves=60)
+
+
+def test_vitdet_grads_match_hf():
+    """ViTDet backbone backward vs HF VitDetModel: decomposed rel-pos
+    attention (incl. the in-model linear rel-pos table resample), bicubic
+    abs-pos resample, window partition/unpartition on a padded 3x3 grid,
+    and the residual bottleneck block.  The reference relies on torch
+    autograd here (backbone/vit.py, backbone/utils.py); both sides'
+    gradients must agree leaf by leaf after the linear key mapping."""
+    from rba_tpu.convert.d2_mapping import convert_vit_backbone
+    from rba_tpu.convert.hf_mapping import hf_vitdet_to_d2
+    from rba_tpu.models.vit import ViTConfig, vit_apply
+    from tests.test_hf_crossval import _tiny_hf_vitdet
+
+    m = _tiny_hf_vitdet(seed=6)
+    params = convert_vit_backbone(hf_vitdet_to_d2(m.state_dict()))
+    cfg = ViTConfig(
+        patch_size=16,
+        embed_dim=32,
+        depth=4,
+        num_heads=4,
+        window_size=2,
+        window_block_indexes=(0, 2),
+        residual_block_indexes=(1,),
+        pretrain_img_size=32,
+        pretrain_use_cls_token=True,
+    )
+    img = _image(48, 48, seed=16)
+
+    rs = np.random.RandomState(12)
+    with torch.no_grad():
+        probe = m(torch.from_numpy(img.transpose(0, 3, 1, 2))).last_hidden_state
+    w = rs.normal(size=tuple(probe.shape)).astype(np.float32)
+
+    m.zero_grad(set_to_none=True)
+    out = m(torch.from_numpy(img.transpose(0, 3, 1, 2))).last_hidden_state
+    (out * torch.from_numpy(w)).sum().backward()
+    grad_sd = {
+        k: p.grad if p.grad is not None else torch.zeros_like(p)
+        for k, p in m.named_parameters()
+    }
+    grad_tree = convert_vit_backbone(hf_vitdet_to_d2(grad_sd))
+
+    def scalar_loss(p):
+        feats = vit_apply(p, cfg, jnp.asarray(img), compute_dtype=jnp.float32)
+        # HF last_hidden_state is NCHW
+        return (feats["last_feat"] * w.transpose(0, 2, 3, 1)).sum()
+
+    torch_loss = float((out * torch.from_numpy(w)).sum().detach())
+    np.testing.assert_allclose(float(scalar_loss(params)), torch_loss, rtol=1e-4)
+    _assert_grad_trees_close(jax.grad(scalar_loss)(params), grad_tree, min_leaves=40)
