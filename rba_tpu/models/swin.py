@@ -489,6 +489,21 @@ def swin_block_apply(
 # LOSES in-model and stays opt-in (SwinConfig.attn_layout="resident").
 # ---------------------------------------------------------------------------
 
+def _stage_attn_layout(attn_layout: str, stage: int) -> str:
+    """Per-stage layout selection: ``"resident:0,1"`` runs the resident
+    window layout on the listed stages and the default partition layout on
+    the rest.  Rationale: the resident trade (pad-token MLP FLOPs + keep
+    mask vs saved per-block relayout copies) flips sign per stage — pad
+    overhead at 1024×2048 / ws=12 is 3.9 / 6.3 / 16 / 27 % of tokens for
+    stages 0–3, while the relayout copies are largest at stage 0/1 where
+    the spatial extent is biggest.  Measurements: see the module-level
+    resident-layout comment block above."""
+    if ":" in attn_layout:
+        base, idxs = attn_layout.split(":", 1)
+        return base if stage in {int(t) for t in idxs.split(",")} else "partition"
+    return attn_layout
+
+
 def _resident_transition(xw, hp, wp, ws, from_shift, to_shift):
     """Move (B, nHw, nWw, ws², C) tokens from the from_shift window layout to
     the to_shift layout: reverse ∘ roll(from−to) ∘ partition, contiguous."""
@@ -654,7 +669,8 @@ def swin_apply(
     for i in range(cfg.num_layers):
         layer = params["layers"][i]
 
-        if cfg.attn_layout == "resident":
+        stage_layout = _stage_attn_layout(cfg.attn_layout, i)
+        if stage_layout == "resident":
             depth = cfg.depths[i]
             if rng is not None:
                 rng, stage_rng = jax.random.split(rng)
@@ -699,7 +715,7 @@ def swin_apply(
                     rng=sub,
                     deterministic=deterministic,
                     fast_math=fast_math,
-                    attn_layout=cfg.attn_layout,
+                    attn_layout=stage_layout,
                     mlp_impl=cfg.mlp_impl,
                 )
                 if cfg.use_checkpoint:

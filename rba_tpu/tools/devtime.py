@@ -41,8 +41,9 @@ def main(argv=None):
     )
     ap.add_argument(
         "--attn-layout", default=None,
-        choices=["partition", "nested", "resident", "proj_canvas"],
-        help="window-attention lowering experiment (SwinConfig.attn_layout)",
+        help="window-attention lowering experiment (SwinConfig.attn_layout): "
+        "partition | nested | resident | proj_canvas, or the per-stage form "
+        "'resident:0,1' (resident on the listed stages, partition elsewhere)",
     )
     ap.add_argument(
         "--sampling-dtype", default=None, choices=["float32", "bfloat16"],

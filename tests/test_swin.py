@@ -222,3 +222,27 @@ def test_resident_attn_layout_grad_and_remat(rng):
     for la, lb in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_per_stage_resident_layout_matches_partition(rng):
+    """attn_layout="resident:0,2" (per-stage hybrid: resident window layout
+    on the listed stages only) equals the partition layout at real tokens,
+    including the patch-merging handoff between differently-laid-out
+    stages."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.models.swin import swin_apply, swin_init
+
+    cfg = tiny_test_config().swin
+    params = swin_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(1, 40, 56, 3), jnp.float32)
+    a = swin_apply(params, cfg, x, compute_dtype=jnp.float32)
+    b = swin_apply(params, dataclasses.replace(cfg, attn_layout="resident:0,2"),
+                   x, compute_dtype=jnp.float32)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-5, atol=1e-5)
