@@ -103,11 +103,14 @@ class PixelDecoderConfig:
     # default fp32 is exact vs the gather at HIGHEST precision.
     sampling_dtype: str = "float32"
     # per-level element cap for auto one-hot dispatch (see
-    # ops/deform_sampling.ms_deform_attn_core): conservative by default
-    # (training saves the A matrices as autodiff residuals); fast_serving
-    # raises it to 256M so multi-level eval configs get the measured
-    # one-hot wins (tools/perf_deform_multilevel.py)
-    sampling_onehot_cap: int = 48 * 1024 * 1024
+    # ops/deform_sampling.ms_deform_attn_core).  Since r5 the one-hot path
+    # has a recompute-A custom VJP, so the cap bounds TRANSIENT memory only
+    # (bwd: ~8 bytes/element for the A + S matrices, freed per layer), not
+    # saved residuals — 192M covers res4+res5 at the 3-level 512x1024 bs1
+    # train shape and res5 at bs4 (measured wins in
+    # tools/perf_deform_multilevel.py --grad).  fast_serving raises it to
+    # 256M so multi-level eval configs get the one-hot wins too.
+    sampling_onehot_cap: int = 192 * 1024 * 1024
 
     @property
     def num_feature_levels(self) -> int:

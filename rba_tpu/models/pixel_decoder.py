@@ -80,7 +80,7 @@ def ms_deform_attn_apply(
     n_points: int,
     sampling_method: str = "auto",
     sampling_dtype: str = "float32",
-    sampling_onehot_cap: int = 48 * 1024 * 1024,
+    sampling_onehot_cap: int = 192 * 1024 * 1024,
 ) -> jax.Array:
     n, lq, c = query.shape
     nlevels = len(spatial_shapes)
@@ -128,7 +128,7 @@ def init_encoder_layer(key, d_model: int, d_ffn: int, n_levels: int, n_heads: in
 def encoder_layer_apply(
     params, src, pos, reference_points, spatial_shapes, n_heads, n_points,
     sampling_method: str = "auto", sampling_dtype: str = "float32",
-    sampling_onehot_cap: int = 48 * 1024 * 1024,
+    sampling_onehot_cap: int = 192 * 1024 * 1024,
 ):
     q = src + pos
     src2 = ms_deform_attn_apply(

@@ -21,6 +21,7 @@ follow-up).
 """
 from __future__ import annotations
 
+from functools import partial as _partial
 from typing import Sequence, Tuple
 
 import jax
@@ -137,6 +138,132 @@ def _bilinear_gather_level_patch(
     )
 
 
+def _corner_indices(h: int, w: int, loc: jax.Array) -> jax.Array:
+    """Flat HW indices of the 4 bilinear corners per sample point, clipped
+    into range (out-of-range corners carry zero weight so the clip never
+    contaminates results).  loc (N, Lq, M, P, 2) -> int32 (N, M, Lq, 4P)."""
+    n, lq, m, p, _ = loc.shape
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0i = jnp.floor(x).astype(jnp.int32)
+    y0i = jnp.floor(y).astype(jnp.int32)
+    idxs = []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        yi, xi = y0i + dy, x0i + dx
+        idxs.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+    idx = jnp.stack(idxs, -1).reshape(n, lq, m, 4 * p)
+    return jnp.transpose(idx, (0, 2, 1, 3))  # (N, M, Lq, 4P)
+
+
+def _corner_weights(h: int, w: int, loc: jax.Array, attn_w: jax.Array) -> jax.Array:
+    """Combined bilinear x attention weight of each of the 4P corners —
+    the differentiable half of the one-hot row construction (the custom-VJP
+    backward chains cotangents through this exact function with jax.vjp, so
+    it must stay in lockstep with the autodiff semantics of the gather path:
+    grads flow to the bilinear term only where the corner is in range).
+    loc (N, Lq, M, P, 2), attn_w (N, Lq, M, P) -> fp32 (N, M, Lq, 4P)."""
+    n, lq, m, p, _ = loc.shape
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx, ty = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    wgts = []
+    for dy, dx, wt in ((0, 0, (1 - tx) * (1 - ty)), (0, 1, tx * (1 - ty)),
+                       (1, 0, (1 - tx) * ty), (1, 1, tx * ty)):
+        yi, xi = y0i + dy, x0i + dx
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        wgts.append(jnp.where(valid, wt, 0.0) * attn_w)
+    wgt = jnp.stack(wgts, -1).reshape(n, lq, m, 4 * p)
+    return jnp.transpose(wgt, (0, 2, 1, 3))  # (N, M, Lq, 4P)
+
+
+def _build_rows(idx: jax.Array, wgt: jax.Array, hw: int) -> jax.Array:
+    """Accumulate the dense one-hot row matrix A (N, M, Lq, HW) fp32 from
+    corner indices/weights: 4P compare-select-accumulate VPU passes."""
+    iota = jnp.arange(hw, dtype=jnp.int32)
+    a = jnp.zeros(idx.shape[:3] + (hw,), jnp.float32)
+    for k in range(idx.shape[-1]):
+        oh = (iota[None, None, None, :] == idx[..., k : k + 1]).astype(jnp.float32)
+        a = a + wgt[..., k : k + 1] * oh
+    return a
+
+
+def _onehot_apply(value, loc, attn_w, a_dtype):
+    n, h, w, m, d = value.shape
+    hw = h * w
+    idx = _corner_indices(h, w, loc)
+    wgt = _corner_weights(h, w, loc, attn_w)
+    a = _build_rows(idx, wgt, hw)
+    vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))  # (N, M, HW, D)
+    if a_dtype != jnp.float32:
+        # fast-serving variant: the A accumulation chain stays fp32 in
+        # registers (one fused VPU kernel) but the MATERIALIZED (M, Lq, HW)
+        # row matrix is written bf16, halving the dominant HBM traffic of
+        # this path; the MXU matmul then runs native bf16 with fp32
+        # accumulation.  Gated by PixelDecoderConfig.sampling_dtype.
+        a = a.astype(a_dtype)
+        out = jnp.einsum("nmqs,nmsd->nmqd", a, vh.astype(a_dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("nmqs,nmsd->nmqd", a, vh,
+                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.transpose(out, (0, 2, 1, 3))  # (N, Lq, M, D)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _onehot_level(bf16: bool, value, loc, attn_w):
+    return _onehot_apply(value, loc, attn_w, jnp.bfloat16 if bf16 else jnp.float32)
+
+
+def _onehot_level_fwd(bf16, value, loc, attn_w):
+    # Residuals are the PRIMALS ONLY — plain autodiff of _onehot_apply saves
+    # the (N, M, Lq, HW) A matrix per encoder layer (~1 GB over 6 layers at
+    # the 3-level train shapes), which is why the pre-r5 auto dispatch had to
+    # keep *training* on the slow gather path.  The reference hand-writes a
+    # CUDA backward for the same reason (ms_deform_im2col_cuda.cuh:307-926).
+    return _onehot_level(bf16, value, loc, attn_w), (value, loc, attn_w)
+
+
+def _onehot_level_bwd(bf16, res, g):
+    """Recompute-A backward.  With dA = g @ V^T =: S,
+      dV[hw, d]  = sum_q A[q, hw] * g[q, d]          (transposed MXU matmul)
+      dwgt_k[q]  = S[q, idx_k[q]] = sum_hw 1[idx_k] * S   (4P VPU passes)
+    and dloc/dattn follow from dwgt via jax.vjp of _corner_weights (cheap,
+    elementwise).  Both matmuls run fp32 HIGHEST regardless of the bf16
+    forward flag: the bf16 A-matrix is a serving-mode numerics trade
+    (ABLATION.json) and making the backward *more* exact only helps the rare
+    fine-tune-in-fast-mode case.  Exactness vs autodiff of the gather path is
+    pinned by tests/test_deform_sampling.py::test_onehot_custom_vjp_*."""
+    value, loc, attn_w = res
+    n, h, w, m, d = value.shape
+    hw = h * w
+    hi = jax.lax.Precision.HIGHEST
+    gt = jnp.transpose(g.astype(jnp.float32), (0, 2, 1, 3))  # (N, M, Lq, D)
+    vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))  # (N, M, HW, D)
+
+    idx = _corner_indices(h, w, loc)
+    wgt, wgt_vjp = jax.vjp(lambda l, a: _corner_weights(h, w, l, a), loc, attn_w)
+    a = _build_rows(idx, wgt, hw)  # (N, M, Lq, HW)
+
+    dvh = jnp.einsum("nmqs,nmqd->nmsd", a, gt, precision=hi)  # (N, M, HW, D)
+    dvalue = jnp.transpose(dvh, (0, 2, 1, 3)).reshape(n, h, w, m, d)
+
+    s = jnp.einsum("nmqd,nmsd->nmqs", gt, vh, precision=hi)  # (N, M, Lq, HW)
+    iota = jnp.arange(hw, dtype=jnp.int32)
+    dwgt = jnp.stack(
+        [jnp.sum(jnp.where(iota[None, None, None, :] == idx[..., k : k + 1], s, 0.0), -1)
+         for k in range(idx.shape[-1])],
+        axis=-1,
+    )  # (N, M, Lq, 4P)
+    dloc, dattn = wgt_vjp(dwgt)
+    return dvalue, dloc, dattn
+
+
+_onehot_level.defvjp(_onehot_level_fwd, _onehot_level_bwd)
+
+
 def _onehot_matmul_level(
     value: jax.Array,  # (N, H, W, M, D)
     loc: jax.Array,  # (N, Lq, M, P, 2)
@@ -152,48 +279,10 @@ def _onehot_matmul_level(
     shape (32x64, Lq=2048, M=8, P=4, D=32) the full one-hot path runs
     0.34 ms vs 1.03 ms for the patch gather (tools/perf_deform_onehot.py).
     The A-construction is 4P compare-select-accumulate VPU passes over
-    (M, Lq, HW); viable when HW is modest (the 1dl eval configs' res5)."""
-    n, h, w, m, d = value.shape
-    _, lq, _, p, _ = loc.shape
-    hw = h * w
-    x = loc[..., 0] * w - 0.5
-    y = loc[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx, ty = x - x0, y - y0
-    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
-
-    idxs, wgts = [], []
-    for dy, dx, wt in ((0, 0, (1 - tx) * (1 - ty)), (0, 1, tx * (1 - ty)),
-                       (1, 0, (1 - tx) * ty), (1, 1, tx * ty)):
-        yi, xi = y0i + dy, x0i + dx
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        idxs.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
-        wgts.append(jnp.where(valid, wt, 0.0) * attn_w)
-    idx = jnp.stack(idxs, -1).reshape(n, lq, m, 4 * p)  # (N, Lq, M, P*4)
-    wgt = jnp.stack(wgts, -1).reshape(n, lq, m, 4 * p)
-    idx = jnp.transpose(idx, (0, 2, 1, 3))  # (N, M, Lq, 4P)
-    wgt = jnp.transpose(wgt, (0, 2, 1, 3))
-
-    iota = jnp.arange(hw, dtype=jnp.int32)
-    a = jnp.zeros((n, m, lq, hw), jnp.float32)
-    for k in range(4 * p):
-        oh = (iota[None, None, None, :] == idx[..., k : k + 1]).astype(jnp.float32)
-        a = a + wgt[..., k : k + 1] * oh
-
-    vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))  # (N, M, HW, D)
-    if a_dtype != jnp.float32:
-        # fast-serving variant: the A accumulation chain stays fp32 in
-        # registers (one fused VPU kernel) but the MATERIALIZED (M, Lq, HW)
-        # row matrix is written bf16, halving the dominant HBM traffic of
-        # this path; the MXU matmul then runs native bf16 with fp32
-        # accumulation.  Gated by PixelDecoderConfig.sampling_dtype.
-        a = a.astype(a_dtype)
-        out = jnp.einsum("nmqs,nmsd->nmqd", a, vh.astype(a_dtype),
-                         preferred_element_type=jnp.float32)
-    else:
-        out = jnp.einsum("nmqs,nmsd->nmqd", a, vh, precision=precision)
-    return jnp.transpose(out, (0, 2, 1, 3))  # (N, Lq, M, D)
+    (M, Lq, HW).  Wrapped in a recompute-A custom VJP (no A residual), so
+    since r5 the auto dispatch can pick it for TRAINING shapes too."""
+    del precision  # fp32 path is always HIGHEST
+    return _onehot_level(a_dtype != jnp.float32, value, loc, attn_w)
 
 
 def ms_deform_attn_core(
@@ -204,7 +293,7 @@ def ms_deform_attn_core(
     use_patch_gather: bool = True,
     method="auto",  # "auto" | "gather" | "onehot" | per-level tuple of those
     sampling_dtype: str = "float32",  # "bfloat16": bf16 one-hot A (fast mode)
-    onehot_cap: int = 48 * 1024 * 1024,
+    onehot_cap: int = 192 * 1024 * 1024,
 ) -> jax.Array:  # (N, Lq, M*D)
     n, s, m, d = value.shape
     _, lq, _, nlevels, p, _ = sampling_locations.shape
@@ -217,11 +306,12 @@ def ms_deform_attn_core(
         # 1-level shape.  Measured at the 3-level train shapes (512x1024,
         # Lq=10752, tools/perf_deform_multilevel.py, v5e): bs1 all-gather
         # 18.2 ms/layer vs 13.2 (onehot res5) vs 9.9 (onehot res4+res5);
-        # bs4: 83.9 vs 64.4 (onehot res5).  The default 48M-element cap
-        # (192 MB fp32) is deliberately conservative because autodiff saves
-        # the A matrices as residuals (6 encoder layers x the cap, training
-        # memory); inference paths raise it via ``onehot_cap`` (fast_serving
-        # sets PixelDecoderConfig.sampling_onehot_cap = 256M).
+        # bs4: 83.9 vs 64.4 (onehot res5).  Since r5 the onehot path carries
+        # a recompute-A custom VJP, so NO (N, M, Lq, HW) residual is saved
+        # for training — the cap bounds *transient* memory (fwd: 4B x cap
+        # for A; bwd: 2 x 4B x cap for A + the S = g @ V^T cotangent
+        # matrix), not per-layer residuals.  fast_serving raises it to 256M
+        # via PixelDecoderConfig.sampling_onehot_cap.
         method = tuple(
             "onehot" if n * m * lq * h * w <= onehot_cap else "gather"
             for h, w in spatial_shapes

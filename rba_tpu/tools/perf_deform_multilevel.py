@@ -35,10 +35,17 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--cap", type=int, default=48 * 1024 * 1024,
+    ap.add_argument("--cap", type=int, default=192 * 1024 * 1024,
                     help="per-level one-hot element cap for variant selection "
                          "(the probe passes explicit method tuples, so this "
                          "only gates which mixes get measured)")
+    ap.add_argument("--variant", default=None,
+                    help="run only this named variant (one process per "
+                         "variant isolates TPU-worker faults)")
+    ap.add_argument("--grad", action="store_true",
+                    help="time value_and_grad (fwd+bwd) per layer instead of "
+                         "the forward — exercises the r5 recompute-A custom "
+                         "VJP of the one-hot path (no A residual saved)")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,16 +76,29 @@ def main(argv=None):
     if fits[1] and fits[2]:
         variants["mix_onehot_res45"] = ("gather", "onehot", "onehot")
     variants["auto"] = "auto"
+    if args.variant is not None:
+        variants = {args.variant: variants[args.variant]}
 
     def timed(method):
+        def one(value, loc, attn):
+            return jnp.mean(
+                ms_deform_attn_core(value, shapes, loc, attn, method=method)
+                .astype(jnp.float32) ** 2
+            )
+
         @jax.jit
         def loop(value, loc, attn):
             def body(carry, _):
-                r = ms_deform_attn_core(
-                    value, shapes, loc + carry * jnp.float32(1e-38), attn,
-                    method=method,
-                )
-                return jnp.mean(r.astype(jnp.float32)), None
+                shifted = loc + carry * jnp.float32(1e-38)
+                if args.grad:
+                    l, grads = jax.value_and_grad(one, argnums=(0, 1, 2))(
+                        value, shifted, attn
+                    )
+                    # fold every grad into the carry so nothing is hoisted
+                    r = l + sum(jnp.mean(g.astype(jnp.float32)) for g in grads)
+                else:
+                    r = one(value, shifted, attn)
+                return r, None
 
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.iters)
             return out

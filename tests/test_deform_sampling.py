@@ -114,6 +114,83 @@ def test_deform_core_grads_odd_channels(rng, d):
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-3)
 
 
+def test_onehot_custom_vjp_matches_gather_grads(rng):
+    """The recompute-A custom VJP of the one-hot lowering must produce the
+    same (value, loc, attn) gradients as plain autodiff of the gather path —
+    this is what lets the auto dispatch pick onehot at TRAINING shapes
+    without saving (N, M, Lq, HW) residuals (reference hand-writes its CUDA
+    backward for the same reason, ms_deform_im2col_cuda.cuh:307-926)."""
+    n, m, d, p = 2, 3, 8, 4
+    shapes = [(6, 9), (3, 5)]
+    s = sum(h * w for h, w in shapes)
+    lq = 11
+    value = jnp.asarray(rng.randn(n, s, m, d), np.float32)
+    loc = jnp.asarray(rng.rand(n, lq, m, len(shapes), p, 2) * 1.4 - 0.2, np.float32)
+    aw = jax.nn.softmax(
+        jnp.asarray(rng.randn(n, lq, m, len(shapes) * p), np.float32), -1
+    ).reshape(n, lq, m, len(shapes), p)
+    cot = jnp.asarray(rng.randn(n, lq, m * d), np.float32)
+
+    def f(method):
+        def g(v, l, a):
+            return jnp.sum(ms_deform_attn_core(v, shapes, l, a, method=method) * cot)
+        return jax.grad(g, argnums=(0, 1, 2))(value, loc, aw)
+
+    got = f("onehot")
+    want = f("gather")
+    for gv, wv in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), rtol=1e-4, atol=1e-5)
+
+
+def test_onehot_custom_vjp_grad_matches_torch(rng):
+    """Leaf-exact onehot grads vs torch autograd of grid_sample (same oracle
+    as the gather-path grad tests), including out-of-range corners."""
+    value, loc, aw, shapes = _random_inputs(rng, n=1, m=2, d=4, p=2, shapes=((5, 7),))
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    ta = torch.from_numpy(aw).requires_grad_(True)
+    out = torch_ms_deform_attn_core(tv, list(shapes), tl, ta)
+    out.pow(2).sum().backward()
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn_core(v, shapes, l, a, method="onehot") ** 2)
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw)
+    )
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_onehot_custom_vjp_no_a_residual():
+    """The whole point of the custom VJP: no (N, M, Lq, HW)-shaped tensor may
+    survive as a residual between forward and backward.  Inspect the jaxpr of
+    value_and_grad — every >1MB intermediate crossing the fwd/bwd boundary
+    would show up as a constvar/residual of the custom_vjp call."""
+    n, m, d, p, lq = 1, 8, 32, 4, 512
+    shapes = [(16, 32)]
+    hw = 16 * 32
+    s = hw
+    value = jnp.zeros((n, s, m, d), jnp.float32)
+    loc = jnp.zeros((n, lq, m, 1, p, 2), jnp.float32) + 0.5
+    aw = jnp.full((n, lq, m, 1, p), 1.0 / p, jnp.float32)
+
+    def loss(v, l, a):
+        return jnp.sum(ms_deform_attn_core(v, shapes, l, a, method="onehot") ** 2)
+
+    # Residuals of the fwd pass appear as outputs of the custom_vjp fwd jaxpr
+    # feeding the bwd: check the linearized jaxpr has no (.., Lq, HW) tensor.
+    jaxpr = jax.make_jaxpr(lambda v, l, a: jax.grad(loss, argnums=(0,))(v, l, a))(
+        value, loc, aw
+    )
+    bad = [v for eqn in jaxpr.eqns for v in eqn.outvars
+           if hasattr(v, "aval") and getattr(v.aval, "shape", ())[-2:] == (lq, hw)
+           and eqn.primitive.name == "custom_vjp_call"]
+    # the A matrix must not be an output of the custom_vjp call (residual)
+    assert not bad, f"A-matrix-shaped residuals leaked from custom_vjp: {bad}"
+
+
 def test_onehot_matmul_matches_gather(rng):
     """The one-hot-matmul lowering is numerically equivalent to the gather
     path (both fp32; includes out-of-range sampling locations whose corners
