@@ -111,7 +111,7 @@ def make_score_fn(cfg: RbAConfig, params, score: str = "rba", smoothing: bool = 
     if cfg.weight_quant == "int8":
         from ..ops.quant import quantize_params_int8
 
-        params = quantize_params_int8(params)
+        params = quantize_params_int8(params, cfg=cfg)
 
     @functools.lru_cache(maxsize=32)
     def for_shape(shape: Tuple[int, ...]):
@@ -150,7 +150,7 @@ def make_cohort_fn(cfg: RbAConfig, params, score: str, smoothing: bool,
     if cfg.weight_quant == "int8":
         from ..ops.quant import quantize_params_int8
 
-        params = quantize_params_int8(params)
+        params = quantize_params_int8(params, cfg=cfg)
 
     @functools.lru_cache(maxsize=8)
     def for_shape(shape: Tuple[int, ...]):
@@ -314,12 +314,13 @@ class OODEvaluator:
             for packed in prefetch(_View(), (upper_limit + cohort - 1) // cohort):
                 dp, dn, lo, hi = fn(packed)
                 metrics.absorb(dp, dn, lo, hi, int(np.prod(packed.shape[:3])))
-            if metrics.clipped:
+            if metrics.clipped or not metrics.certified():
                 import warnings
 
                 warnings.warn(
-                    "streaming histogram saturated; re-running the exact "
-                    "all-pixel path", stacklevel=2,
+                    "streaming histogram saturated or certified quantization "
+                    "error above tolerance; re-running the exact all-pixel "
+                    "path", stacklevel=2,
                 )
                 scores, gts = self.compute_anomaly_scores(dataset, upper_limit)
                 return self.evaluate_ood(scores, gts)
@@ -329,13 +330,14 @@ class OODEvaluator:
             s = self.score_fn(sample.image[None])
             # uint8 labels: 4x less tunnel traffic; histogram compares ints
             metrics.update(s[0], jnp.asarray(sample.label.astype(np.uint8)))
-        if metrics.clipped:
+        if metrics.clipped or not metrics.certified():
             import warnings
 
             warnings.warn(
-                f"streaming histogram saturated (observed scores "
-                f"[{float(metrics.smin):.3g}, {float(metrics.smax):.3g}] outside "
-                f"{metrics.range}); re-running the exact all-pixel path",
+                f"streaming result not certified (clipped={metrics.clipped}, "
+                f"observed scores [{float(metrics.smin):.3g}, "
+                f"{float(metrics.smax):.3g}] vs range {metrics.range}); "
+                f"re-running the exact all-pixel path",
                 stacklevel=2,
             )
             scores, gts = self.compute_anomaly_scores(dataset, upper_limit)
@@ -416,12 +418,13 @@ def evaluate_dataset_multi(
 
     out: Dict[str, Dict[str, float]] = {}
     for name, ev in evaluators.items():
-        if states[name].clipped:
+        if states[name].clipped or not states[name].certified():
             import warnings
 
             warnings.warn(
-                f"streaming histogram saturated for {name}; re-running the "
-                "exact all-pixel path", stacklevel=2,
+                f"streaming result for {name} not certified (saturated or "
+                "quantization error above tolerance); re-running the exact "
+                "all-pixel path", stacklevel=2,
             )
             scores, gts = ev.compute_anomaly_scores(dataset, upper_limit)
             out[name] = ev.evaluate_ood(scores, gts)

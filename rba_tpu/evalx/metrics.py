@@ -9,9 +9,20 @@ sorting ~60×2M floats in sklearn (the reference's second hot spot,
 SURVEY.md §3.1), scores are accumulated into fixed-width histograms on
 device (a pure jnp reduction that runs per-image inside jit and sums across
 chips with psum).  AUPRC/AUROC/FPR95 are then computed from the histogram
-counts on the host in O(bins).  With 2^16 bins over the score range the
-error vs exact sklearn is < 1e-3 (validated in tests/test_metrics.py).
-Exact sklearn-equivalent computation is also provided for parity testing.
+counts on the host in O(bins).
+
+Quantization honesty (r5): binning error depends on how much probability
+mass shares a bin, NOT on a blanket bin-count claim — r4's "< 1e-3 with
+2^16 bins" was falsified by ABLATION.json's own full-scale rows (streaming
+AUPR 3.3004 vs exact 3.2127, a 0.088-pt gap: random-init RbA scores pile
+into a narrow band, and trained scores saturate tanh near ±K the same way).
+Therefore (a) the linear default is now 2^22 bins and (b) every streaming
+result carries CERTIFIED bounds from the within-bin-ordering argument
+(``metrics_from_histograms(with_bounds=True)``); ``StreamingOODMetrics``
+warns — and the evaluator falls back to the exact path — whenever the
+certified error exceeds 0.01 pts.  Exact sklearn-equivalent computation is
+also provided (native radix-sort engine) for official numbers and parity
+testing.
 """
 from __future__ import annotations
 
@@ -23,7 +34,15 @@ import numpy as np
 
 # RbA scores are bounded: -Σ_k tanh ∈ [-K, K]; leave headroom for energy etc.
 DEFAULT_RANGE = (-64.0, 64.0)
-DEFAULT_BINS = 1 << 16
+# 2^22 bins (16 MiB int32 per histogram): RbA scores concentrate in a narrow
+# band (tanh saturation near ±K for trained weights; tiny spread around 0 for
+# random init), so the 2^16 default used through r4 was locally coarse
+# exactly where the mass is — ABLATION.json measured a 0.088-AUPRC-pt
+# streaming-vs-exact gap at full scale, ~90% of the total parity budget.
+# At 2^22 the bin width is 3.05e-5 and the certified within-bin-ordering
+# bounds (metrics_from_histograms(with_bounds=True)) shrink accordingly;
+# StreamingOODMetrics warns whenever the certified error exceeds 0.01 pts.
+DEFAULT_BINS = 1 << 22
 # asinh-space range covering every finite fp32 magnitude
 # (asinh(3.4e38) ≈ 88.7): unbounded score functions can never saturate
 ASINH_RANGE = (-90.0, 90.0)
@@ -62,25 +81,59 @@ def histogram_update(
     return pos, neg
 
 
-def metrics_from_histograms(pos_hist: np.ndarray, neg_hist: np.ndarray) -> Dict[str, float]:
+def _harmonic_diff(a: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """H(a+p) − H(a) = Σ_{j=1..p} 1/(a+j), vectorized (a ≥ 0, p ≥ 0)."""
+    try:
+        from scipy.special import digamma
+    except ImportError:  # asymptotic ψ with recurrence below x=16
+        def digamma(x):
+            x = np.asarray(x, np.float64).copy()
+            acc = np.zeros_like(x)
+            while np.any(small := x < 16.0):
+                acc[small] -= 1.0 / x[small]
+                x[small] += 1.0
+            inv2 = 1.0 / (x * x)
+            return acc + np.log(x) - 0.5 / x - inv2 * (1.0 / 12 - inv2 / 120)
+    a = np.asarray(a, np.float64)
+    p = np.asarray(p, np.float64)
+    return digamma(a + p + 1.0) - digamma(a + 1.0)
+
+
+def metrics_from_histograms(
+    pos_hist: np.ndarray, neg_hist: np.ndarray, with_bounds: bool = False
+) -> Dict[str, float]:
     """AUPRC / AUROC / FPR@95TPR from score histograms (host, O(bins)).
 
     Matches sklearn conventions: thresholds descend (high score = anomaly),
     average_precision = Σ (R_i − R_{i−1})·P_i, FPR95 = fpr at the first
     tpr >= 0.95 on the ROC curve (support.py:295-303).
+
+    ``with_bounds=True`` additionally returns CERTIFIED lower/upper bounds
+    (keys ``<metric>_lo`` / ``<metric>_hi``) on the exact all-pixel metric:
+    binning only loses the ordering *within* each bin, and every metric here
+    is extremal when a bin's positives all rank above (or below) its
+    negatives, so the exact value — whatever the true within-bin ordering or
+    tie structure — provably lies in [lo, hi].  hi − lo is the streaming
+    path's quantization error, reported instead of the former (falsified)
+    blanket "< 1e-3" claim.
     """
     pos = np.asarray(pos_hist, np.float64)
     neg = np.asarray(neg_hist, np.float64)
     p_total = pos.sum()
     n_total = neg.sum()
     if p_total == 0 or n_total == 0:
-        return {"AUPRC": float("nan"), "AUROC": float("nan"), "FPR@95TPR": float("nan")}
+        out = {"AUPRC": float("nan"), "AUROC": float("nan"), "FPR@95TPR": float("nan")}
+        if with_bounds:
+            for k in list(out):
+                out[f"{k}_lo"] = out[f"{k}_hi"] = float("nan")
+        return out
 
     # descending score order: reverse cumulative sums
     tp = np.cumsum(pos[::-1])
     fp = np.cumsum(neg[::-1])
     # keep only bins where threshold changes matter (nonzero counts)
     nz = (pos[::-1] + neg[::-1]) > 0
+    p_i, n_i = pos[::-1][nz], neg[::-1][nz]
     tp, fp = tp[nz], fp[nz]
 
     tpr = tp / p_total
@@ -102,7 +155,45 @@ def metrics_from_histograms(pos_hist: np.ndarray, neg_hist: np.ndarray) -> Dict[
     k = np.searchsorted(tpr, 0.95, side="right")
     k = min(k, len(fpr) - 1)
     fpr95 = float(fpr[k])
-    return {"AUPRC": auprc, "AUROC": auroc, "FPR@95TPR": fpr95}
+    out = {"AUPRC": auprc, "AUROC": auroc, "FPR@95TPR": fpr95}
+    if not with_bounds:
+        return out
+
+    t_before = tp - p_i  # cumulative TP/FP from strictly higher bins
+    f_before = fp - n_i
+    has_p = p_i > 0
+
+    # AP upper bound: all of a bin's positives tie in ONE group ranked above
+    # its negatives — contribution (p/P)·(T+p)/(T+p+F), which dominates both
+    # the distinct pos-first ordering and any finer grouping.
+    ap_hi = float(np.sum(np.where(has_p, p_i * tp / np.maximum(tp + f_before, 1), 0.0)) / p_total)
+    # AP lower bound: negatives first, positives distinct —
+    # Σ_{j=1..p} (T+j)/(T+j+c) = p − c·(H(T+c+p) − H(T+c)), c = F + n.
+    c = f_before + n_i
+    ap_lo_terms = np.where(
+        has_p, p_i - c * _harmonic_diff(t_before + c, np.where(has_p, p_i, 0.0)), 0.0
+    )
+    ap_lo = float(np.sum(ap_lo_terms) / p_total)
+
+    # AUROC = P(pos > neg) + ½·P(tie): cross-bin pairs are fixed, within-bin
+    # p·n pairs contribute 0 (neg-first) … p·n (pos-first).
+    base = float(np.sum(p_i * (n_total - fp)) / (p_total * n_total))
+    tie_mass = float(np.sum(p_i * n_i) / (p_total * n_total))
+    auroc_lo, auroc_hi = base, base + tie_mass
+
+    # FPR95: the 0.95-TPR crossing lands inside bin k (computed above on the
+    # grouped curve, identical crossing bin for any within-bin ordering);
+    # pos-first reaches it before any of that bin's negatives, neg-first
+    # after all of them.
+    fpr95_lo = float(f_before[k] / n_total)
+    fpr95_hi = float((f_before[k] + n_i[k]) / n_total)
+
+    out.update({
+        "AUPRC_lo": ap_lo, "AUPRC_hi": ap_hi,
+        "AUROC_lo": auroc_lo, "AUROC_hi": auroc_hi,
+        "FPR@95TPR_lo": fpr95_lo, "FPR@95TPR_hi": fpr95_hi,
+    })
+    return out
 
 
 def exact_ood_metrics(scores: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
@@ -233,7 +324,12 @@ class StreamingOODMetrics:
             smin, smax = np.arcsinh(smin), np.arcsinh(smax)
         return bool(smin < lo) or bool(smax > hi)
 
-    def compute(self) -> Dict[str, float]:
+    # certified quantization error above this (in metric units; 1e-4 =
+    # 0.01 percentage points) triggers a warning here and the exact-path
+    # fallback in evaluator.evaluate_dataset
+    QERR_TOL = 1e-4
+
+    def compute(self, with_bounds: bool = True) -> Dict[str, float]:
         if self.clipped:
             import warnings
 
@@ -245,4 +341,39 @@ class StreamingOODMetrics:
                 stacklevel=2,
             )
         self._flush()
-        return metrics_from_histograms(self._pos_host, self._neg_host)
+        m = metrics_from_histograms(self._pos_host, self._neg_host,
+                                    with_bounds=with_bounds)
+        if with_bounds:
+            qerr = self.quantization_error(m)
+            if any(v > self.QERR_TOL for v in qerr.values()):
+                import warnings
+
+                warnings.warn(
+                    f"StreamingOODMetrics: certified quantization error "
+                    f"{ {k: round(v, 6) for k, v in qerr.items()} } exceeds "
+                    f"{self.QERR_TOL} ({self.QERR_TOL * 100:.2g} pts) — use "
+                    f"the exact path for official numbers",
+                    stacklevel=2,
+                )
+        return m
+
+    @staticmethod
+    def quantization_error(m: Dict[str, float]) -> Dict[str, float]:
+        """Certified |exact − streaming| ceiling per metric (hi − lo of the
+        within-bin-ordering bounds), from a compute(with_bounds=True) dict."""
+        return {
+            k: m[f"{k}_hi"] - m[f"{k}_lo"]
+            for k in ("AUPRC", "AUROC", "FPR@95TPR")
+            if f"{k}_hi" in m and np.isfinite(m[f"{k}_hi"])
+        }
+
+    def certified(self, tol: Optional[float] = None) -> bool:
+        """True when every metric's certified quantization error is within
+        ``tol`` (default QERR_TOL) and no scores were clipped."""
+        if self.clipped:
+            return False
+        self._flush()
+        m = metrics_from_histograms(self._pos_host, self._neg_host, with_bounds=True)
+        qerr = self.quantization_error(m)
+        t = self.QERR_TOL if tol is None else tol
+        return all(v <= t for v in qerr.values())

@@ -165,6 +165,76 @@ def test_asinh_streaming_matches_linear_on_bounded_scores(rng):
         np.testing.assert_allclose(a[k], b[k], atol=2e-3, err_msg=k)
 
 
+def _saturated_rba_scores(rng, n=200000, anomaly_rate=0.03, k_classes=19):
+    """Trained-like RbA scores: per-pixel score = -Σ_k tanh(logit_k) with
+    logits deep in tanh saturation (|logit| ~ U[2, 8], residuals 1e-7…4e-2),
+    so the mass piles into a narrow band near ±(K-2) — the regime where
+    ABLATION.json caught the r4 streaming default losing 0.088 AUPRC pts."""
+    labels = (rng.rand(n) < anomaly_rate).astype(np.int64)
+    mag = rng.uniform(2.0, 8.0, size=(n, k_classes))
+    sign = -np.ones((n, k_classes))
+    winner = rng.randint(0, k_classes, n)
+    sign[np.arange(n), winner] = 1.0  # inliers: one confident class
+    # anomalies: no confident winner, logits nearer zero (less saturated)
+    anom = labels == 1
+    sign[anom, winner[anom]] = -1.0
+    mag[anom] *= rng.uniform(0.1, 0.6, size=(anom.sum(), 1))
+    scores = -np.tanh(sign * mag).sum(-1).astype(np.float32)
+    return scores, labels
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_histogram_bounds_bracket_exact(seed):
+    """The within-bin-ordering bounds are CERTIFIED: for any binning —
+    including absurdly coarse ones with heavy artificial ties — the exact
+    all-pixel metric must lie in [lo, hi], and the reported (grouped-tie)
+    value must too."""
+    r = np.random.RandomState(seed)
+    n = 50000
+    labels = (r.rand(n) < 0.1).astype(np.int64)
+    scores = (np.tanh(r.randn(n)) * 19 + 4.0 * (labels == 1)).astype(np.float32)
+    exact = exact_ood_metrics(scores, labels)
+    for bins in (256, 4096, 1 << 16):
+        m = StreamingOODMetrics(bins=bins)
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")  # coarse bins may exceed QERR_TOL
+            m.update(jnp.asarray(scores), jnp.asarray(labels))
+            got = m.compute(with_bounds=True)
+        for k in ("AUPRC", "AUROC", "FPR@95TPR"):
+            assert got[f"{k}_lo"] - 1e-12 <= exact[k] <= got[f"{k}_hi"] + 1e-12, (
+                f"{k} exact={exact[k]} outside [{got[f'{k}_lo']}, {got[f'{k}_hi']}] "
+                f"at {bins} bins"
+            )
+            assert got[f"{k}_lo"] - 1e-9 <= got[k] <= got[f"{k}_hi"] + 1e-9
+
+
+def test_saturated_rba_streaming_certified_and_accurate(rng):
+    """The r5 default binning must hold the streaming error under 0.01 pts
+    on tanh-SATURATED score distributions (the case that falsified the r4
+    '<1e-3 with 2^16 bins' claim), and certify it via the bounds."""
+    scores, labels = _saturated_rba_scores(rng)
+    exact = exact_ood_metrics(scores, labels)
+    m = StreamingOODMetrics()
+    m.update(jnp.asarray(scores), jnp.asarray(labels))
+    got = m.compute(with_bounds=True)
+    assert m.certified(), StreamingOODMetrics.quantization_error(got)
+    for k in ("AUPRC", "AUROC", "FPR@95TPR"):
+        assert abs(got[k] - exact[k]) < 1e-4, (k, got[k], exact[k])
+
+
+def test_saturated_rba_coarse_bins_flagged_not_silent(rng):
+    """With the r4-era 2^16 binning the same saturated distribution must be
+    FLAGGED (certification fails, compute warns) rather than silently
+    reporting a distorted number — the exact failure mode of ABLATION r4."""
+    scores, labels = _saturated_rba_scores(rng)
+    m = StreamingOODMetrics(bins=1 << 12)  # coarse enough to provably fail
+    m.update(jnp.asarray(scores), jnp.asarray(labels))
+    assert not m.certified()
+    with pytest.warns(UserWarning, match="certified quantization error"):
+        m.compute()
+
+
 def test_evaluate_dataset_falls_back_to_exact_on_saturation():
     """A saturated linear histogram must trigger the exact all-pixel
     fallback (not silently-distorted metrics): the streamed result must
