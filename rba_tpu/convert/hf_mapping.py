@@ -470,7 +470,10 @@ def rba_config_from_hf(hf_config):
         mlp_ratio=bb.mlp_ratio,
         qkv_bias=bb.qkv_bias,
         ape=bb.use_absolute_embeddings,
-        drop_path_rate=0.0,
+        # propagate stochastic depth so fine-tuning an ingested hub
+        # checkpoint keeps its regularizer (ADVICE r4); inference paths
+        # never apply drop-path, so this is free at eval time
+        drop_path_rate=float(getattr(bb, "drop_path_rate", 0.0)),
     )
     pd = PixelDecoderConfig(
         conv_dim=hf_config.feature_size,

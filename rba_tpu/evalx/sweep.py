@@ -202,6 +202,17 @@ def main(argv=None):
         by_ds: dict = {}
         for model_dir, ds_name in work:
             by_ds.setdefault(ds_name, []).append(model_dir)
+        # --fuse_models keys evaluators and results.pkl rows by basename;
+        # two zoo dirs sharing a basename would silently collide (ADVICE r4)
+        bases: dict = {}
+        for model_dir, _ in work:
+            base = os.path.basename(model_dir.rstrip("/"))
+            if bases.setdefault(base, model_dir) != model_dir:
+                raise SystemExit(
+                    f"--fuse_models: duplicate model basename {base!r} "
+                    f"({bases[base]} vs {model_dir}) — results would collide; "
+                    "rename one of the zoo directories"
+                )
         for ds_name, dirs in sorted(by_ds.items()):
             evs = {}
             for model_dir in dirs:

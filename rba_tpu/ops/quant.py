@@ -31,6 +31,23 @@ import numpy as np
 _SKIP_NAMES = frozenset({"in_proj", "patch_embed"})
 
 
+def config_skip_names(cfg) -> frozenset:
+    """Config-dependent raw-``["kernel"]`` access sites (ADVICE r4): MViT's
+    pooling-attention projection reads ``p["proj"]["kernel"]`` directly
+    (models/mvit.py) and the opt-in fused-MLP Pallas kernel reads
+    fc1/fc2 kernels (ops/pallas/fused_mlp.py) — quantizing those dicts
+    would KeyError at trace time, so they stay fp."""
+    extra = set()
+    if cfg is None:
+        return frozenset()
+    if getattr(cfg, "backbone_name", "") == "mvit":
+        extra.add("proj")
+    swin = getattr(cfg, "swin", None)
+    if swin is not None and getattr(swin, "mlp_impl", "xla") == "fused":
+        extra.update(("fc1", "fc2"))
+    return frozenset(extra)
+
+
 def quantize_linear_int8(p: Dict[str, Any]) -> Dict[str, Any]:
     """Symmetric per-output-channel int8 for one ``{"kernel", "bias"?}``."""
     k = np.asarray(p["kernel"], np.float32)  # (din, dout)
@@ -43,18 +60,20 @@ def quantize_linear_int8(p: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def quantize_params_int8(params, min_dim: int = 64):
+def quantize_params_int8(params, min_dim: int = 64, cfg=None):
     """Walk a param pytree, replacing eligible linear kernels with int8.
 
     Eligible = a dict whose keys ⊆ {kernel, bias}, kernel.ndim == 2, and
     min(kernel.shape) >= min_dim (tiny heads such as class_embed keep fp32
     — their bytes are negligible and their logits feed the score path).
-    """
+    Pass ``cfg`` (RbAConfig) so config-dependent raw-kernel access sites
+    (MViT proj, fused-MLP fc1/fc2) are skipped too."""
+    skip = _SKIP_NAMES | config_skip_names(cfg)
 
     def walk(node, name=""):
         if isinstance(node, dict):
             if (
-                name not in _SKIP_NAMES
+                name not in skip
                 and set(node) <= {"kernel", "bias"}
                 and "kernel" in node
                 and hasattr(node["kernel"], "ndim")

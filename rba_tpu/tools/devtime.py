@@ -143,7 +143,7 @@ def main(argv=None):
     if args.int8:
         from rba_tpu.ops.quant import count_quantized, quantize_params_int8
 
-        params = quantize_params_int8(params)
+        params = quantize_params_int8(params, cfg=cfg)
         print(json.dumps(count_quantized(params)), flush=True)
     img = jnp.asarray(np.random.RandomState(0).rand(args.batch, h, w, 3) * 255, jnp.float32)
 

@@ -142,7 +142,7 @@ def main(argv=None):
     if args.int8:
         from rba_tpu.ops.quant import quantize_params_int8
 
-        params = quantize_params_int8(params)
+        params = quantize_params_int8(params, cfg=cfg)
     img = jnp.asarray(
         np.random.RandomState(0).rand(args.batch, h, w, 3) * 255, jnp.float32
     )

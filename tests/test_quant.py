@@ -63,3 +63,30 @@ def test_int8_scores_close_to_fp(tiny_cfg=None):
     # int8 weights perturb logits but the RbA score map must stay close in
     # rank terms; guard with a loose absolute bound (score range is [-K, K])
     assert np.abs(s_q - s_fp).mean() < 0.5
+
+
+def test_config_dependent_skip_names():
+    """MViT's proj and the fused-MLP fc1/fc2 are accessed as raw ["kernel"]
+    in their modules; quantizing them would KeyError at trace time
+    (ADVICE r4) — cfg-aware quantization must leave them fp."""
+    from rba_tpu.ops.quant import config_skip_names
+
+    cfg = tiny_test_config()
+    assert config_skip_names(None) == frozenset()
+    assert config_skip_names(cfg) == frozenset()
+    mvit_cfg = dataclasses.replace(cfg, backbone_name="mvit")
+    assert "proj" in config_skip_names(mvit_cfg)
+    fused_cfg = dataclasses.replace(
+        cfg, swin=dataclasses.replace(cfg.swin, mlp_impl="fused")
+    )
+    assert config_skip_names(fused_cfg) >= {"fc1", "fc2"}
+
+    params = {
+        "proj": {"kernel": jnp.ones((128, 128)), "bias": jnp.zeros(128)},
+        "fc1": {"kernel": jnp.ones((128, 512)), "bias": jnp.zeros(512)},
+        "other": {"kernel": jnp.ones((128, 512)), "bias": jnp.zeros(512)},
+    }
+    q = quantize_params_int8(params, cfg=mvit_cfg)
+    assert "kernel" in q["proj"] and "kernel_q" in q["fc1"] and "kernel_q" in q["other"]
+    q = quantize_params_int8(params, cfg=fused_cfg)
+    assert "kernel_q" in q["proj"] and "kernel" in q["fc1"]
