@@ -370,6 +370,103 @@ class SyntheticAnomaly(OODDataset):
         return Sample(img, label, f"synthetic_{i}")
 
 
+class SyntheticStructured(OODDataset):
+    """Structured procedural scenes for numerics ablations (VERDICT r4
+    item 3): uniform-noise images exercise none of the spatial structure
+    real photographs have, so precision deltas measured on them do not
+    bound real-data deltas.  Each image composites (seeded per index):
+
+    - a vertical sky→ground luminance gradient,
+    - low-frequency "terrain" noise (coarse noise bilinearly upsampled),
+    - periodic texture bands (stripes / checker patches of varying pitch,
+      road-marking-like),
+    - 6–12 inlier objects (rectangles/ellipses with distinct albedo and
+      soft edges),
+    - 1–4 anomaly objects (ellipses/polygons with out-of-palette colors
+      and contrasting texture) labeled 1,
+    - a 2-px ignore strip at the top (mirrors SyntheticAnomaly).
+
+    No file IO; deterministic per (seed, index).
+    """
+
+    name = "synthetic_structured"
+
+    def __init__(self, n: int = 64, hw: Tuple[int, int] = (1024, 2048), seed: int = 0):
+        super().__init__()
+        self.n = n
+        self.hw = hw
+        self.seed = seed
+        self.images = [str(i) for i in range(n)]
+        self.labels = [str(i) for i in range(n)]
+
+    @staticmethod
+    def _upsample(coarse: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Bilinear upsample a (ch, cw) grid to (h, w) with numpy only."""
+        ch, cw = coarse.shape
+        yi = np.linspace(0, ch - 1, h)
+        xi = np.linspace(0, cw - 1, w)
+        y0 = np.clip(yi.astype(np.int64), 0, ch - 2)
+        x0 = np.clip(xi.astype(np.int64), 0, cw - 2)
+        ty = (yi - y0)[:, None]
+        tx = (xi - x0)[None, :]
+        c00 = coarse[y0][:, x0]
+        c01 = coarse[y0][:, x0 + 1]
+        c10 = coarse[y0 + 1][:, x0]
+        c11 = coarse[y0 + 1][:, x0 + 1]
+        return (c00 * (1 - ty) * (1 - tx) + c01 * (1 - ty) * tx
+                + c10 * ty * (1 - tx) + c11 * ty * tx)
+
+    def __getitem__(self, i: int) -> Sample:
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        h, w = self.hw
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+        # sky→ground gradient + low-frequency terrain
+        base = 90 + 70 * (1 - yy / h)
+        terrain = self._upsample(rng.randn(8, 16) * 25, h, w)
+        img = np.repeat((base + terrain)[..., None], 3, axis=-1)
+        img += rng.randn(1, 1, 3) * 10  # global color cast
+
+        # periodic texture bands (stripes of varying pitch/orientation)
+        for _ in range(rng.randint(2, 5)):
+            y0b, y1b = sorted(rng.randint(0, h, 2))
+            pitch = rng.randint(8, 64)
+            phase = (xx if rng.rand() < 0.5 else xx + yy)[y0b:y1b]
+            stripe = (np.sin(2 * np.pi * phase / pitch) > 0).astype(np.float32)
+            img[y0b:y1b] += stripe[..., None] * rng.uniform(8, 25)
+
+        label = np.zeros((h, w), np.int32)
+
+        def paint(cy, cx, ry, rx, color, anomaly, texture):
+            if rng.rand() < 0.5:  # ellipse
+                m = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+            else:  # rotated rectangle-ish (axis-aligned box)
+                m = (np.abs(yy - cy) <= ry) & (np.abs(xx - cx) <= rx)
+            tex = 1.0 + texture * np.sin(2 * np.pi * (xx + yy) / rng.randint(6, 24))
+            img[m] = (color[None] * tex[m][:, None]).astype(np.float32)
+            if anomaly:
+                label[m] = 1
+
+        # inlier objects: palette near the background statistics
+        for _ in range(rng.randint(6, 13)):
+            paint(rng.randint(0, h), rng.randint(0, w),
+                  rng.randint(h // 32, h // 6), rng.randint(w // 32, w // 6),
+                  rng.uniform(40, 200, 3), anomaly=False,
+                  texture=rng.uniform(0, 0.15))
+        # anomalies: saturated out-of-palette colors, contrasting texture
+        for _ in range(rng.randint(1, 5)):
+            c = np.zeros(3)
+            c[rng.randint(3)] = rng.uniform(200, 255)
+            paint(rng.randint(h // 8, h - h // 8), rng.randint(w // 8, w - w // 8),
+                  rng.randint(h // 40, h // 10), rng.randint(w // 40, w // 10),
+                  c, anomaly=True, texture=rng.uniform(0.2, 0.5))
+
+        img += rng.randn(h, w, 3) * 3  # sensor noise
+        label[:2] = 255  # ignore strip
+        return Sample(np.clip(img, 0, 255).astype(np.uint8), label,
+                      f"synthetic_structured_{i}")
+
+
 def get_datasets(datasets_folder: str) -> dict:
     """Mirror of support.get_datasets (support.py:27-95): instantiate the
     standard evaluation suite rooted at ``datasets_folder``.  Missing dataset

@@ -52,6 +52,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--images", type=int, default=50)
     ap.add_argument("--hw", default="512x1024")
+    ap.add_argument("--dataset", choices=("noise", "structured"), default="noise",
+                    help="'structured' composites gradients/textures/objects "
+                         "(SyntheticStructured) instead of uniform noise — "
+                         "closer to real-photo spatial statistics")
+    ap.add_argument("--logit_scale", type=float, default=1.0,
+                    help="scale the class_embed and mask_embed output heads "
+                         "by this factor BEFORE export, pushing softmax/"
+                         "sigmoid/tanh into the saturated regime of trained "
+                         "checkpoints (random-init logits are tiny, so a "
+                         "scale-1 ablation understates precision deltas)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true", help="miniature arch (CI smoke)")
     ap.add_argument("--modes", default="parity,pd_bf16,fast")
@@ -77,18 +87,35 @@ def main(argv=None):
     arch = tiny_test_config() if args.tiny else load_d2_config(
         "/root/reference/ckpts/swin_b_1dl/config.yaml"
     )
+    def scale_heads(dec):
+        if args.logit_scale != 1.0:
+            import torch
+
+            with torch.no_grad():
+                for lin in (dec.class_embed, dec.mask_mlp[2]):
+                    lin.weight.mul_(args.logit_scale)
+                    lin.bias.mul_(args.logit_scale)
+        return dec
+
     if not os.path.exists(os.path.join(model_dir, "config.yaml")):
         swin, pd, dec = build_torch_model(arch)
+        dec = scale_heads(dec)
         export_checkpoint(swin, pd, dec, arch, model_dir)
     else:
         swin = pd = dec = None
 
     base_cfg, params = load_model(model_dir)
-    ds = SyntheticAnomaly(n=args.images, hw=hw)
+    if args.dataset == "structured":
+        from ..data.ood_datasets import SyntheticStructured
+
+        ds = SyntheticStructured(n=args.images, hw=hw)
+    else:
+        ds = SyntheticAnomaly(n=args.images, hw=hw)
 
     # fp32 torch reference scores (the ground-truth arithmetic)
     if swin is None:
         swin, pd, dec = build_torch_model(arch)
+        dec = scale_heads(dec)
     images = [ds[i].image for i in range(len(ds))]
     ref_scores = torch_rba_scores(swin, pd, dec, base_cfg, images)
     gts = np.stack([ds[i].label for i in range(len(ds))])
@@ -129,6 +156,8 @@ def main(argv=None):
         "arch": "tiny" if args.tiny else "swin_b_1dl",
         "hw": list(hw),
         "n_images": args.images,
+        "dataset": args.dataset,
+        "logit_scale": args.logit_scale,
         "backend": jax.default_backend(),
         "results": results,
     }

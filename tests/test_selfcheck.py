@@ -26,3 +26,19 @@ def test_selfcheck_swin_l_full_arch():
     with tempfile.TemporaryDirectory() as d:
         result = run_selfcheck(d, "swin_l_1dl", n_images=1, hw=(64, 128), tol=1e-3)
     assert result["pass"], result
+
+
+def test_selfcheck_metrics_mode_runs_sweep_cli_end_to_end():
+    """--metrics (VERDICT r4 item 8): the FULL sweep CLI over synthetic
+    RoadAnomaly/Fishyscapes-LAF/SMIYC dataset trees with the exported
+    real-format .pth must produce a results.pkl with finite metrics for all
+    three suites — the literal command path of the eventual real run."""
+    from rba_tpu.tools.selfcheck import run_metrics_check
+
+    with tempfile.TemporaryDirectory() as d:
+        result = run_metrics_check(d, "tiny", n_images=2, hw=(96, 128))
+    assert result["pass"], result
+    assert set(result["rows"]) == {"road_anomaly", "fishyscapes_laf",
+                                   "road_anomaly_21"}
+    for row in result["rows"].values():
+        assert set(row) == {"auroc", "aupr", "fpr95"}
