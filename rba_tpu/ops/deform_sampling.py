@@ -264,6 +264,91 @@ def _onehot_level_bwd(bf16, res, g):
 _onehot_level.defvjp(_onehot_level_fwd, _onehot_level_bwd)
 
 
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_level_matmul_bwd(n_chunks: int, value, loc, attn_w):
+    """Patch-gather forward with a CHUNKED recompute-A matmul backward.
+
+    Rationale (measured on v5e, tools/perf_deform_grad_split.py, 512x1024
+    train shapes, Lq=10752): the gather forward is index-rate-bound and fine
+    at any level size, but its autodiff backward is a scatter-add that costs
+    ~1417 ms/level REGARDLESS of level size — while the recompute-A matmul
+    backward runs 6.5 ms (res4) / 1.6 ms (res5).  Levels too big to
+    materialize the full (N, M, Lq, HW) row matrix (res3 = 704M elements =
+    2.8 GB fp32; the single-shot probe hard-faulted the TPU worker) get the
+    same backward in ``n_chunks`` Lq-slices, bounding the transient to
+    chunk-size A + S matrices accumulated with lax.scan.  The reference
+    hand-writes its CUDA backward for the same scatter-avoidance reason
+    (ms_deform_im2col_cuda.cuh:307-926)."""
+    sampled = _bilinear_gather_level_patch(value, loc)  # (N, Lq, M, P, D)
+    return jnp.einsum("nqmpd,nqmp->nqmd", sampled, attn_w,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _gather_level_matmul_bwd_fwd(n_chunks, value, loc, attn_w):
+    return _gather_level_matmul_bwd(n_chunks, value, loc, attn_w), (value, loc, attn_w)
+
+
+def _gather_level_matmul_bwd_bwd(n_chunks, res, g):
+    value, loc, attn_w = res
+    n, h, w, m, d = value.shape
+    _, lq, _, p, _ = loc.shape
+    hw = h * w
+    hi = jax.lax.Precision.HIGHEST
+    vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))  # (N, M, HW, D)
+
+    qc = -(-lq // n_chunks)  # ceil
+    pad = n_chunks * qc - lq
+
+    def pad_q(x):  # pad the Lq axis (axis 1) with zeros
+        cfgp = [(0, 0)] * x.ndim
+        cfgp[1] = (0, pad)
+        return jnp.pad(x, cfgp)
+
+    # zero attention weights on pad rows -> zero contributions everywhere
+    loc_p = pad_q(loc).reshape(n, n_chunks, qc, m, p, 2)
+    attn_p = pad_q(attn_w).reshape(n, n_chunks, qc, m, p)
+    g_p = pad_q(g.astype(jnp.float32)).reshape(n, n_chunks, qc, m, d)
+
+    def body(dvh, xs):
+        loc_c, attn_c, g_c = xs  # (N, qc, M, P, 2) / (N, qc, M, P) / (N, qc, M, D)
+        gt = jnp.transpose(g_c, (0, 2, 1, 3))  # (N, M, qc, D)
+        idx = _corner_indices(h, w, loc_c)
+        wgt, wgt_vjp = jax.vjp(
+            lambda l, a: _corner_weights(h, w, l, a), loc_c, attn_c
+        )
+        a = _build_rows(idx, wgt, hw)  # (N, M, qc, HW)
+        dvh = dvh + jnp.einsum("nmqs,nmqd->nmsd", a, gt, precision=hi)
+        s = jnp.einsum("nmqd,nmsd->nmqs", gt, vh, precision=hi)
+        iota = jnp.arange(hw, dtype=jnp.int32)
+        dwgt = jnp.stack(
+            [jnp.sum(jnp.where(iota[None, None, None, :] == idx[..., k : k + 1],
+                               s, 0.0), -1)
+             for k in range(idx.shape[-1])],
+            axis=-1,
+        )
+        dloc_c, dattn_c = wgt_vjp(dwgt)
+        return dvh, (dloc_c, dattn_c)
+
+    xs = (
+        jnp.moveaxis(loc_p, 1, 0),
+        jnp.moveaxis(attn_p, 1, 0),
+        jnp.moveaxis(g_p, 1, 0),
+    )
+    dvh0 = jnp.zeros((n, m, hw, d), jnp.float32)
+    if n_chunks == 1:
+        dvh, (dloc_s, dattn_s) = body(dvh0, jax.tree.map(lambda x: x[0], xs))
+        dloc_s, dattn_s = dloc_s[None], dattn_s[None]
+    else:
+        dvh, (dloc_s, dattn_s) = jax.lax.scan(body, dvh0, xs)
+    dvalue = jnp.transpose(dvh, (0, 2, 1, 3)).reshape(n, h, w, m, d)
+    dloc = jnp.moveaxis(dloc_s, 0, 1).reshape(n, n_chunks * qc, m, p, 2)[:, :lq]
+    dattn = jnp.moveaxis(dattn_s, 0, 1).reshape(n, n_chunks * qc, m, p)[:, :lq]
+    return dvalue, dloc, dattn
+
+
+_gather_level_matmul_bwd.defvjp(_gather_level_matmul_bwd_fwd, _gather_level_matmul_bwd_bwd)
+
+
 def _onehot_matmul_level(
     value: jax.Array,  # (N, H, W, M, D)
     loc: jax.Array,  # (N, Lq, M, P, 2)
@@ -291,7 +376,7 @@ def ms_deform_attn_core(
     sampling_locations: jax.Array,  # (N, Lq, M, L, P, 2) in [0, 1]
     attention_weights: jax.Array,  # (N, Lq, M, L, P) softmaxed over L*P
     use_patch_gather: bool = True,
-    method="auto",  # "auto" | "gather" | "onehot" | per-level tuple of those
+    method="auto",  # "auto" | "gather" | "onehot" | "gather_scatter" | per-level tuple
     sampling_dtype: str = "float32",  # "bfloat16": bf16 one-hot A (fast mode)
     onehot_cap: int = 192 * 1024 * 1024,
 ) -> jax.Array:  # (N, Lq, M*D)
@@ -340,6 +425,18 @@ def ms_deform_attn_core(
                 a_dtype=jnp.bfloat16 if sampling_dtype == "bfloat16" else jnp.float32,
             )
             continue
+        if method[lid] == "gather" and use_patch_gather:
+            # patch-gather forward, chunked matmul BACKWARD: autodiff of the
+            # gather is a scatter-add measured at ~1417 ms/level on v5e (any
+            # level size) vs single-digit ms for the recompute-A matmul form
+            n_chunks = max(1, -(-(n * m * lq * h * w) // onehot_cap))
+            out = out + _gather_level_matmul_bwd(
+                n_chunks, v, sampling_locations[:, :, :, lid],
+                attention_weights[:, :, :, lid],
+            )
+            continue
+        # "gather_scatter": the plain-autodiff gather path (kept for probes
+        # and as the use_patch_gather=False fallback)
         sampled = gather_fn(v, sampling_locations[:, :, :, lid])  # (N,Lq,M,P,D)
         out = out + jnp.einsum(
             "nqmpd,nqmp->nqmd", sampled, attention_weights[:, :, :, lid],

@@ -50,6 +50,12 @@ def main(argv=None):
         help="one-hot deform A-matrix dtype (PixelDecoderConfig.sampling_dtype)",
     )
     ap.add_argument(
+        "--sampling-method", default=None,
+        choices=["auto", "gather", "onehot", "gather_scatter"],
+        help="deform sampling lowering (PixelDecoderConfig.sampling_method); "
+        "gather_scatter = the pre-r5 plain-autodiff gather (scatter bwd)",
+    )
+    ap.add_argument(
         "--mlp-impl", default=None, choices=["xla", "fused"],
         help="MLP lowering (SwinConfig.mlp_impl; 'fused' = Pallas VMEM kernel)",
     )
@@ -74,10 +80,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from rba_tpu.config import fast_serving, load_d2_config
+    from rba_tpu.config import fast_serving, load_config
     from rba_tpu.models.maskformer import maskformer_infer_rba, maskformer_init
 
-    cfg = load_d2_config(args.config)
+    cfg = load_config(args.config)
     if args.fast:
         cfg = fast_serving(cfg)
     if args.attn_layout:
@@ -87,6 +93,12 @@ def main(argv=None):
     if args.mlp_impl:
         cfg = dataclasses.replace(
             cfg, swin=dataclasses.replace(cfg.swin, mlp_impl=args.mlp_impl)
+        )
+    if args.sampling_method:
+        cfg = dataclasses.replace(
+            cfg, pixel_decoder=dataclasses.replace(
+                cfg.pixel_decoder, sampling_method=args.sampling_method
+            )
         )
     if args.sampling_dtype:
         cfg = dataclasses.replace(

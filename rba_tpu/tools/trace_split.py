@@ -101,10 +101,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from rba_tpu.config import fast_serving, load_d2_config, tiny_test_config
+    from rba_tpu.config import fast_serving, load_config, tiny_test_config
     from rba_tpu.models.maskformer import maskformer_infer_rba, maskformer_init
 
-    cfg = tiny_test_config() if args.tiny else load_d2_config(args.config)
+    cfg = tiny_test_config() if args.tiny else load_config(args.config)
     if args.fast:
         cfg = fast_serving(cfg)
     h, w = (int(v) for v in args.hw.split("x"))

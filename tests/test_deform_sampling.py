@@ -131,15 +131,25 @@ def test_onehot_custom_vjp_matches_gather_grads(rng):
     ).reshape(n, lq, m, len(shapes), p)
     cot = jnp.asarray(rng.randn(n, lq, m * d), np.float32)
 
-    def f(method):
+    def f(method, **kw):
         def g(v, l, a):
-            return jnp.sum(ms_deform_attn_core(v, shapes, l, a, method=method) * cot)
+            return jnp.sum(
+                ms_deform_attn_core(v, shapes, l, a, method=method, **kw) * cot
+            )
         return jax.grad(g, argnums=(0, 1, 2))(value, loc, aw)
 
-    got = f("onehot")
-    want = f("gather")
-    for gv, wv in zip(got, want):
-        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), rtol=1e-4, atol=1e-5)
+    want = f("gather_scatter")  # plain JAX autodiff of the gather (oracle)
+    for method, kw in (
+        ("onehot", {}),
+        ("gather", {}),  # patch-gather fwd + chunked matmul bwd (1 chunk)
+        ("gather", {"onehot_cap": 64}),  # force multi-chunk bwd (Lq split)
+    ):
+        got = f(method, **kw)
+        for gv, wv in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(gv), np.asarray(wv), rtol=1e-4, atol=1e-5,
+                err_msg=f"{method} {kw}",
+            )
 
 
 def test_onehot_custom_vjp_grad_matches_torch(rng):
