@@ -46,7 +46,10 @@ class SwinConfig:
     # on the (B, nHw, ws, nWw, ws, C) view; "resident" = whole stage runs in
     # the partitioned token layout (one contiguous permutation per shift
     # change instead of per-block partition/reverse round-trips; identical
-    # math at real tokens — see models/swin.py resident section)
+    # math at real tokens — see models/swin.py resident section);
+    # "qkv_canvas" = qkv projection on the un-partitioned canvas with ONE
+    # window partition of the 3C output (bit-identical; perf probe for
+    # fusing the partition transpose into the qkv matmul neighborhood)
     attn_layout: str = "partition"
     # MLP lowering: "xla" = unfused linear/gelu chain; "fused" = Pallas
     # token-tiled kernel (ops/pallas/fused_mlp.py) that keeps the 4C hidden

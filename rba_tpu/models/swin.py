@@ -174,19 +174,30 @@ def _use_fused_attention() -> bool:
 
 def _window_attention(
     attn_params,
-    x: jax.Array,  # (B, nHw, nWw, N, C) windowed tokens
+    x: jax.Array,  # (B, nHw, nWw, N, C) windowed tokens (or None w/ qkv_pre)
     num_heads: int,
     ws: int,
     mask: Optional[np.ndarray],  # (nW, N, N) or None
     qk_scale: Optional[float],
     fast_math: bool = False,
     apply_proj: bool = True,  # False: return pre-proj tokens (proj_canvas)
+    qkv_pre: Optional[jax.Array] = None,  # (B, nHw, nWw, N, 3C) precomputed
 ) -> jax.Array:
-    b, nhw, nww, n, c = x.shape
+    if qkv_pre is not None:
+        # qkv_canvas layout: the projection already ran position-wise on the
+        # un-partitioned canvas; identical math (linear commutes with the
+        # window permutation row-by-row).
+        qkv = qkv_pre
+        b, nhw, nww, n, c3 = qkv.shape
+        c = c3 // 3
+        x = qkv  # dtype carrier only below
+    else:
+        b, nhw, nww, n, c = x.shape
     hd = c // num_heads
     scale = qk_scale or hd**-0.5
 
-    qkv = linear(attn_params["qkv"], x)  # (B, nHw, nWw, N, 3C)
+    if qkv_pre is None:
+        qkv = linear(attn_params["qkv"], x)  # (B, nHw, nWw, N, 3C)
 
     bias_table = attn_params["relative_position_bias_table"].astype(jnp.float32)
     idx = relative_position_index(ws)
@@ -420,6 +431,26 @@ def swin_block_apply(
         x6 = _window_attention_nested(params["attn"], x6, num_heads, ws, mask,
                                       qk_scale, fast_math=fast_math)
         x = x6.reshape(b, hp, wp, c)
+    elif attn_layout == "qkv_canvas":
+        # VERDICT-r4 item-5 probe: run the qkv projection position-wise on
+        # the un-partitioned (B, Hp, Wp, C) canvas and window-partition the
+        # 3C output ONCE, placing the partition transpose directly on a
+        # matmul output so XLA's dot/fusion machinery gets the chance to
+        # absorb it (the partition-then-qkv order leaves a standalone
+        # pre-matmul relayout copy in the trace).  Bit-identical math: the
+        # projection is row-wise, so it commutes with the token permutation.
+        # On paper this moves 3C bytes through the transpose instead of C —
+        # it only wins if the transpose fuses.  See the measured result in
+        # the qkv_canvas note below (config.py SwinConfig.attn_layout).
+        qkv = linear(params["attn"]["qkv"], x)  # (B, Hp, Wp, 3C)
+        qw = qkv.reshape(b, hp // ws, ws, wp // ws, ws, 3 * c)
+        qw = jnp.transpose(qw, (0, 1, 3, 2, 4, 5)).reshape(
+            b, hp // ws, wp // ws, ws * ws, 3 * c
+        )
+        xw = _window_attention(params["attn"], None, num_heads, ws, mask,
+                               qk_scale, fast_math=fast_math, qkv_pre=qw)
+        x = xw.reshape(b, hp // ws, wp // ws, ws, ws, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
     else:
         # "proj_canvas": commute the (position-wise) output projection past
         # the window-reverse permutation — proj(reverse(x)) == reverse(

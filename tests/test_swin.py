@@ -172,6 +172,28 @@ def test_nested_attn_layout_matches_partition(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_qkv_canvas_attn_layout_matches_partition(rng):
+    """attn_layout="qkv_canvas" (qkv projection on the un-partitioned canvas,
+    ONE window partition of the 3C output) is bit-identical to the partition
+    layout — the row-wise projection commutes with the token permutation."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rba_tpu.config import tiny_test_config
+    from rba_tpu.models.swin import swin_apply, swin_init
+
+    cfg = tiny_test_config().swin
+    params = swin_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(2, 40, 56, 3), jnp.float32)  # non-divisible: pads
+    a = swin_apply(params, cfg, x, compute_dtype=jnp.float32)
+    b = swin_apply(params, dataclasses.replace(cfg, attn_layout="qkv_canvas"),
+                   x, compute_dtype=jnp.float32)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_resident_attn_layout_matches_partition(rng):
     """attn_layout="resident" (stage-resident window layout, pad re-zeroed
     after norm1) equals the reference partition layout at real tokens —
