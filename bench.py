@@ -31,6 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rba_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 COHORT = 8   # distinct resident images per dispatch
 CALLS = 8    # timed dispatches per trial (COHORT*CALLS images)
 TRIALS = 3   # report the median (tunnel RTT jitter moves single trials)

@@ -143,6 +143,9 @@ def store_score_pngs(scores: np.ndarray, path: str, names=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from ..data.ood_datasets import get_datasets
     from .evaluator import OODEvaluator
 

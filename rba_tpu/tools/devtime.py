@@ -80,6 +80,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from rba_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from rba_tpu.config import fast_serving, load_config
     from rba_tpu.models.maskformer import maskformer_infer_rba, maskformer_init
 

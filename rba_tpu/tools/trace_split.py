@@ -98,6 +98,9 @@ def main(argv=None):
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from rba_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
