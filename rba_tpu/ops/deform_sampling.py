@@ -79,26 +79,18 @@ def _bilinear_gather_level(
     return out
 
 
-def _bilinear_gather_level_patch(
+def _corner_patches(
     value: jax.Array,  # (N, H, W, M, D)
     loc: jax.Array,  # (N, Lq, M, P, 2)
-) -> jax.Array:  # (N, Lq, M, P, D)
-    """Patch-gather formulation: the 4 bilinear corners of each sample lie in
-    one 2×2 patch, so a single ``lax.gather`` with slice_sizes (2, 2, D) on a
-    zero-padded map fetches all of them — 4× fewer gathers and 8× larger
-    contiguous payloads than per-corner ``take_along_axis`` (TPU gathers are
-    row-granular).  Out-of-range corners get zero weight, so clamped starts
-    never contaminate the result."""
+) -> jax.Array:  # (N, Lq, M, P, 2, 2, D) raw 2x2 corner patches
+    """One ``lax.gather`` of the 2×2 patch covering a sample point's 4
+    bilinear corners, on a 1px zero-padded map (clamped starts for corners
+    further out of range fetch in-range garbage — callers must weight-gate
+    every corner with the validity mask, as `_corner_weights` does)."""
     n, h, w, m, d = value.shape
     _, lq, _, p, _ = loc.shape
-    x = loc[..., 0] * w - 0.5
-    y = loc[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = (x - x0)[..., None]
-    ty = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    x0i = jnp.floor(loc[..., 0] * w - 0.5).astype(jnp.int32)
+    y0i = jnp.floor(loc[..., 1] * h - 0.5).astype(jnp.int32)
 
     # zero-pad 1px so patch [y0+1 : y0+3) covers corners y0, y0+1
     vp = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
@@ -121,7 +113,30 @@ def _bilinear_gather_level_patch(
         )
 
     patches = jax.vmap(g)(vp, starts)  # (N*M, Lq*P, 2, 2, D)
-    patches = patches.reshape(n, m, lq, p, 2, 2, d).transpose(0, 2, 1, 3, 4, 5, 6)
+    return patches.reshape(n, m, lq, p, 2, 2, d).transpose(0, 2, 1, 3, 4, 5, 6)
+
+
+def _bilinear_gather_level_patch(
+    value: jax.Array,  # (N, H, W, M, D)
+    loc: jax.Array,  # (N, Lq, M, P, 2)
+) -> jax.Array:  # (N, Lq, M, P, D)
+    """Patch-gather formulation: the 4 bilinear corners of each sample lie in
+    one 2×2 patch, so a single ``lax.gather`` with slice_sizes (2, 2, D) on a
+    zero-padded map fetches all of them — 4× fewer gathers and 8× larger
+    contiguous payloads than per-corner ``take_along_axis`` (TPU gathers are
+    row-granular).  Out-of-range corners get zero weight, so clamped starts
+    never contaminate the result."""
+    n, h, w, m, d = value.shape
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    patches = _corner_patches(value, loc)  # (N, Lq, M, P, 2, 2, D)
 
     def valid(yi, xi):
         return ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).astype(jnp.float32)[..., None]
@@ -288,13 +303,17 @@ def _gather_level_matmul_bwd_fwd(n_chunks, value, loc, attn_w):
     return _gather_level_matmul_bwd(n_chunks, value, loc, attn_w), (value, loc, attn_w)
 
 
+# dwgt-formulation crossover for the chunked backward: corner-gather wins at
+# HW=8192, S-form at HW<=2048 (measured, see body comment); 4096 = midpoint.
+_DWGT_CORNER_GATHER_MIN_HW = 4096
+
+
 def _gather_level_matmul_bwd_bwd(n_chunks, res, g):
     value, loc, attn_w = res
     n, h, w, m, d = value.shape
     _, lq, _, p, _ = loc.shape
     hw = h * w
     hi = jax.lax.Precision.HIGHEST
-    vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))  # (N, M, HW, D)
 
     qc = -(-lq // n_chunks)  # ceil
     pad = n_chunks * qc - lq
@@ -318,14 +337,32 @@ def _gather_level_matmul_bwd_bwd(n_chunks, res, g):
         )
         a = _build_rows(idx, wgt, hw)  # (N, M, qc, HW)
         dvh = dvh + jnp.einsum("nmqs,nmqd->nmsd", a, gt, precision=hi)
-        s = jnp.einsum("nmqd,nmsd->nmqs", gt, vh, precision=hi)
-        iota = jnp.arange(hw, dtype=jnp.int32)
-        dwgt = jnp.stack(
-            [jnp.sum(jnp.where(iota[None, None, None, :] == idx[..., k : k + 1],
-                               s, 0.0), -1)
-             for k in range(idx.shape[-1])],
-            axis=-1,
-        )
+        # dwgt_k[q] = (g @ V^T)[q, idx_k[q]] = <g[q], V[idx_k[q]]>.  Two
+        # exact formulations, dispatched on the static HW (A/B on v5e,
+        # perf_deform_grad_split bs4 512x1024 fwd+bwd ms/layer):
+        #   corner-gather — fetch the corner VALUES with the same 2x2 patch
+        #     gather as the forward (index-rate-bound, cost ~ Lq only):
+        #     res3/HW=8192 111.5 vs 119.3 for S-form;
+        #   S-form — materialize S = g V^T (N, M, qc, HW) and reduce it
+        #     under 4P one-hot masks (cost ~ qc*HW): res4/HW=2048 42.8 vs
+        #     55.2, res5/HW=512 28.4 vs 33.8 for corner-gather.
+        # Invalid corners in the patch gather fetch clamped garbage, but
+        # wgt_vjp zero-gates them exactly as the gather path's autodiff does.
+        if hw >= _DWGT_CORNER_GATHER_MIN_HW:
+            qc_ = loc_c.shape[1]
+            patches = _corner_patches(value, loc_c)  # (N, qc, M, P, 2, 2, D)
+            corners = patches.reshape(n, qc_, m, p * 4, d)
+            dwgt = jnp.einsum("nqmd,nqmkd->nmqk", g_c, corners, precision=hi)
+        else:
+            vh = jnp.transpose(value.reshape(n, hw, m, d), (0, 2, 1, 3))
+            s = jnp.einsum("nmqd,nmsd->nmqs", gt, vh, precision=hi)
+            iota = jnp.arange(hw, dtype=jnp.int32)
+            dwgt = jnp.stack(
+                [jnp.sum(jnp.where(iota[None, None, None, :] == idx[..., k : k + 1],
+                                   s, 0.0), -1)
+                 for k in range(idx.shape[-1])],
+                axis=-1,
+            )
         dloc_c, dattn_c = wgt_vjp(dwgt)
         return dvh, (dloc_c, dattn_c)
 

@@ -114,7 +114,7 @@ def test_deform_core_grads_odd_channels(rng, d):
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-3)
 
 
-def test_onehot_custom_vjp_matches_gather_grads(rng):
+def test_onehot_custom_vjp_matches_gather_grads(rng, monkeypatch):
     """The recompute-A custom VJP of the one-hot lowering must produce the
     same (value, loc, attn) gradients as plain autodiff of the gather path —
     this is what lets the auto dispatch pick onehot at TRAINING shapes
@@ -139,17 +139,28 @@ def test_onehot_custom_vjp_matches_gather_grads(rng):
         return jax.grad(g, argnums=(0, 1, 2))(value, loc, aw)
 
     want = f("gather_scatter")  # plain JAX autodiff of the gather (oracle)
+
+    def check(tag, got):
+        for gv, wv in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(gv), np.asarray(wv), rtol=1e-4, atol=1e-5,
+                err_msg=tag,
+            )
+
     for method, kw in (
         ("onehot", {}),
         ("gather", {}),  # patch-gather fwd + chunked matmul bwd (1 chunk)
         ("gather", {"onehot_cap": 64}),  # force multi-chunk bwd (Lq split)
     ):
-        got = f(method, **kw)
-        for gv, wv in zip(got, want):
-            np.testing.assert_allclose(
-                np.asarray(gv), np.asarray(wv), rtol=1e-4, atol=1e-5,
-                err_msg=f"{method} {kw}",
-            )
+        check(f"{method} {kw}", f(method, **kw))
+
+    # both dwgt formulations of the chunked backward (HW-dispatched: the
+    # corner-gather branch only fires at HW >= 4096 in production shapes)
+    from rba_tpu.ops import deform_sampling as ds
+
+    monkeypatch.setattr(ds, "_DWGT_CORNER_GATHER_MIN_HW", 1)
+    check("gather corner-dwgt", f("gather"))
+    check("gather corner-dwgt chunked", f("gather", onehot_cap=64))
 
 
 def test_onehot_custom_vjp_grad_matches_torch(rng):
