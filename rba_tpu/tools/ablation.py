@@ -66,6 +66,15 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true", help="miniature arch (CI smoke)")
     ap.add_argument("--modes", default="parity,pd_bf16,fast")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--ref_cache", default=None,
+                    help="npz path for the torch fp32 reference scores: loaded "
+                         "if present, else computed and saved (the reference "
+                         "pass is ~30 s/image on CPU at 1024x2048 — caching "
+                         "makes re-runs and crash recovery cheap).  Only valid "
+                         "with --workdir (the checkpoint export must be the "
+                         "one the scores were computed from)")
+    ap.add_argument("--out", default=None,
+                    help="write the result JSON here in addition to stdout")
     args = ap.parse_args(argv)
 
     import jax
@@ -113,11 +122,20 @@ def main(argv=None):
         ds = SyntheticAnomaly(n=args.images, hw=hw)
 
     # fp32 torch reference scores (the ground-truth arithmetic)
-    if swin is None:
-        swin, pd, dec = build_torch_model(arch)
-        dec = scale_heads(dec)
-    images = [ds[i].image for i in range(len(ds))]
-    ref_scores = torch_rba_scores(swin, pd, dec, base_cfg, images)
+    if args.ref_cache and not args.workdir:
+        ap.error("--ref_cache requires --workdir (scores are tied to the export)")
+    if args.ref_cache and os.path.exists(args.ref_cache):
+        ref_scores = np.load(args.ref_cache)["ref_scores"]
+        if ref_scores.shape[0] != args.images:
+            ap.error(f"--ref_cache holds {ref_scores.shape[0]} images, want {args.images}")
+    else:
+        if swin is None:
+            swin, pd, dec = build_torch_model(arch)
+            dec = scale_heads(dec)
+        images = [ds[i].image for i in range(len(ds))]
+        ref_scores = torch_rba_scores(swin, pd, dec, base_cfg, images)
+        if args.ref_cache:
+            np.savez_compressed(args.ref_cache, ref_scores=ref_scores)
     gts = np.stack([ds[i].label for i in range(len(ds))])
 
     ref_eval = OODEvaluator(base_cfg, params)
@@ -162,6 +180,9 @@ def main(argv=None):
         "results": results,
     }
     print(json.dumps(out, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
     return out
 
 
