@@ -169,6 +169,11 @@ def main(argv=None):
             "score_map_mean_abs_delta": float(np.abs(scores - ref_scores).mean()),
         }
         print(json.dumps({mode: results[mode]}), flush=True)
+        # each mode's jit executables/constants stay alive in jax's global
+        # caches; at 64 images x 1024x2048 a 5-mode run OOM-killed a 125 GB
+        # host after mode 2 — release before the next mode compiles
+        del ev, scores, m_exact, m_stream
+        jax.clear_caches()
 
     out = {
         "arch": "tiny" if args.tiny else "swin_b_1dl",
